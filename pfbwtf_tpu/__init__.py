@@ -1,0 +1,33 @@
+"""pfbwt-f_tpu: a TPU-native prefix-free-parsing BWT engine.
+
+A ground-up re-design of the capabilities of pfbwt-f (alshai/pfbwt-f,
+reference anchors cited per-module) for TPU hardware: the byte-level file
+contracts and the algorithmic outputs are identical, but the compute path is
+idiomatic JAX/XLA/Pallas — vectorized hash scans, prefix-doubling suffix
+sorts built on `jax.lax.sort`, scatter/gather BWT assembly, and
+`jax.sharding` collectives for multi-chip scale — rather than a translation
+of the reference's sequential C++.
+
+64-bit integer support is required for exact Wang-hash arithmetic and
+genome-scale offsets, so importing this package enables jax_enable_x64.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from .constants import (  # noqa: E402
+    Dollar,
+    EndOfWord,
+    EndOfDict,
+    EXT,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Dollar",
+    "EndOfWord",
+    "EndOfDict",
+    "EXT",
+]

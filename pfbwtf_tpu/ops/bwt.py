@@ -1,0 +1,134 @@
+"""Final BWT assembly: the emission-sort formulation.
+
+The reference walks the dict gSA left-to-right with EASY1/EASY2/HARD cases
+(pfbwt.hpp:97-194), serially interleaving rank/select queries, per-word
+ilist gathers and small std::sorts.  The TPU-native insight is that the
+whole sweep is one flat sort:
+
+Every output position corresponds to a unique pair (suffix s, occurrence j)
+where s = (word u, offset) is a dict suffix with len > w and j ranges over
+the parse-BWT positions of u (its ilist).  Total pairs = n+1 exactly.  The
+reference's emission order is (lexicographic rank of the suffix string,
+then ascending j) for ALL cases:
+
+* EASY1 (whole word, pfbwt.hpp:116-128): singleton suffix group (the PFP
+  prefix-free property makes whole words never equal proper suffixes),
+  ilist order == ascending j.
+* EASY2/HARD (:146-181): groups of equal proper-suffix strings; the
+  reference merges member ilists by position (SuffixT::operator< compares
+  bwtp, :29-31), i.e. ascending j.
+
+So: build the n+1 emissions as flat arrays, sort once by (group, j), and
+gather BWT chars / SA samples.  BWT char and SA sample per emission
+(pfbwt.hpp:116-181, pfbwt-f.cpp:298-320):
+
+  off == 0             -> char = bwlast[j]
+  dict position == 1   -> char = 0 (the leading Dollar stands for the EOS)
+  else                 -> char = dict[pos-1]
+  sa = bwsai[j] - suf_len   (output index 0 is written as n)
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .suffix import dict_suffix_sort_np, suffix_group_ids_np
+
+
+@dataclass
+class BWTResult:
+    bwt: np.ndarray  # uint8, n+1
+    sa: Optional[np.ndarray]  # uint64, n+1 (first entry already = n)
+    nruns: int
+    ssa: Optional[np.ndarray] = None  # (pos, sample) pairs flattened
+    esa: Optional[np.ndarray] = None
+
+
+def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=None,
+               verify_groups=True):
+    """Sorted dict suffixes + their emission layout.
+
+    Returns (sa_kept, gid, word_of_suffix, suf_len_kept, E_suffix, E_j).
+    """
+    dict_flat = np.asarray(dict_flat, dtype=np.uint8)
+    if sa_all is None:
+        sa_all, word_id, suf_len, _ = dict_suffix_sort_np(dict_flat)
+    keep = suf_len[sa_all] > w
+    sa_kept = sa_all[keep]
+    gid = suffix_group_ids_np(dict_flat, sa_kept, suf_len, verify=verify_groups)
+    u = word_id[sa_kept]
+    # ilist segment starts per word: F[u+1] = 1 + cumsum(occ)[:u]
+    occs = np.asarray(occs, dtype=np.int64)
+    seg_start = np.concatenate(([1], 1 + np.cumsum(occs)[:-1]))
+    counts = occs[u]
+    E_suffix = np.repeat(np.arange(sa_kept.shape[0]), counts)
+    # within-suffix occurrence index 0..count-1
+    first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(E_suffix.shape[0]) - np.repeat(first, counts)
+    E_j = ilist[np.repeat(seg_start[u], counts) + within]
+    return sa_kept, gid, u, suf_len[sa_kept], E_suffix, E_j
+
+
+def assemble_bwt(
+    dict_flat: np.ndarray,
+    w: int,
+    occs: np.ndarray,
+    bwlast: np.ndarray,
+    ilist: np.ndarray,
+    bwsai: Optional[np.ndarray],
+    n: int,
+    want_sa: bool = False,
+    want_rssa: bool = False,
+    sa_dtype=np.uint64,
+) -> BWTResult:
+    sa_kept, gid, u, suf_len_kept, E_suffix, E_j = _emissions(
+        dict_flat, w, occs, ilist
+    )
+    total = E_j.shape[0]
+    assert total == n + 1, f"emission count {total} != n+1 ({n + 1})"
+    # final order: (suffix group, parse-BWT position)
+    order = np.lexsort((E_j, gid[E_suffix]))
+    s_ord = E_suffix[order]
+    j_ord = E_j[order]
+    pos_ord = sa_kept[s_ord]  # dict positions of each emission's suffix
+    off0 = np.zeros(len(dict_flat) + 1, dtype=bool)
+    # offset-0 detection: suffix starts right after a separator or at 0
+    dict_flat = np.asarray(dict_flat, dtype=np.uint8)
+    is_word_start = np.concatenate(
+        ([True], (dict_flat[:-1] <= 1))
+    )  # previous byte is EndOfWord/EndOfDict
+    whole = is_word_start[pos_ord]
+    bwtc = np.where(
+        whole,
+        np.asarray(bwlast, dtype=np.uint8)[j_ord],
+        np.where(pos_ord == 1, np.uint8(0), dict_flat[np.maximum(pos_ord - 1, 0)]),
+    ).astype(np.uint8)
+
+    nruns = int(np.count_nonzero(np.diff(bwtc.astype(np.int16))) + 1)
+
+    sa_vals = None
+    ssa = esa = None
+    if want_sa or want_rssa:
+        bwsai = np.asarray(bwsai, dtype=np.uint64)
+        sa_vals = bwsai[j_ord] - suf_len_kept[s_ord].astype(np.uint64)
+        sa_vals[0] = np.uint64(n)
+        if want_rssa:
+            run_start = np.concatenate(
+                ([True], bwtc[1:] != bwtc[:-1])
+            )
+            rs = np.flatnonzero(run_start)
+            re = np.concatenate((rs[1:] - 1, [total - 1]))
+            ssa = np.empty(2 * rs.shape[0], dtype=sa_dtype)
+            ssa[0::2] = rs.astype(sa_dtype)
+            ssa[1::2] = sa_vals[rs].astype(sa_dtype)
+            esa = np.empty(2 * re.shape[0], dtype=sa_dtype)
+            esa[0::2] = re.astype(sa_dtype)
+            esa[1::2] = sa_vals[re].astype(sa_dtype)
+    return BWTResult(
+        bwt=bwtc,
+        sa=sa_vals if want_sa else None,
+        nruns=nruns,
+        ssa=ssa,
+        esa=esa,
+    )

@@ -1,0 +1,64 @@
+"""BWT of the parse: bwlast / ilist / bwsai construction.
+
+Array re-expression of PfParser::bwt_of_parse (pfparser.hpp:380-467):
+
+* SA of parse_ranks + [0] terminator (the sacak_int call, :425) comes from
+  the doubling kernel in ops/suffix.py.
+* The SA->bwlast/bwsai permutation (:431-451) becomes two gathers with the
+  reference's exact wrap conventions: SA[0]=n -> last[n-2]/sai[n-1];
+  SA[i]==0 -> (0, 0); SA[i]==1 -> last wraps to last[n-1].
+* The F-array counting sort into ilist (:452-462) is a stable argsort of the
+  parse-BWT symbols — identical output, fully parallel.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.errors import die
+from .suffix import suffix_array_ints_np
+
+
+@dataclass
+class ParseBWT:
+    bwlast: np.ndarray  # uint8, n+1
+    ilist: np.ndarray  # int64 positions, n+1
+    bwsai: np.ndarray  # uint64, n+1 (empty when get_sai is off)
+    bwt_sym: np.ndarray  # parse-BWT symbols (phrase ranks, 0 = EOS), n+1
+
+
+def bwt_of_parse(
+    parse_ranks: np.ndarray,
+    last: np.ndarray,
+    sai: np.ndarray,
+    get_sai: bool = True,
+    sa_fn=suffix_array_ints_np,
+) -> ParseBWT:
+    parse_ranks = np.asarray(parse_ranks, dtype=np.int64)
+    n = parse_ranks.shape[0]
+    if n == 1:
+        die("error: only one dict word total. Re-run with a smaller p modulus")
+    seq = np.concatenate((parse_ranks, np.zeros(1, dtype=np.int64)))
+    SA = np.asarray(sa_fn(seq), dtype=np.int64)  # length n+1, SA[0] == n
+    assert SA[0] == n, "parse SA must start with the terminator suffix"
+
+    last = np.asarray(last)
+    sai = np.asarray(sai, dtype=np.uint64)
+    zero = SA == 0
+    # bwlast: preceding-phrase "last" char with the reference's wrap quirks
+    bwlast = np.where(zero, np.uint8(0), last[(SA - 2) % n])
+    if get_sai:
+        bwsai = np.where(zero, np.uint64(0), sai[(SA - 1) % n])
+    else:
+        bwsai = np.zeros(0, dtype=np.uint64)
+    # parse-BWT symbols: phrase rank preceding each suffix (0 for EOS)
+    bwt_sym = np.where(zero, 0, parse_ranks[(SA - 1) % n])
+    bwt_sym[0] = parse_ranks[n - 1]
+    # ilist = stable counting sort by symbol (== ilist[F[sym]++] = i)
+    ilist = np.argsort(bwt_sym, kind="stable").astype(np.int64)
+    return ParseBWT(
+        bwlast=bwlast.astype(np.uint8),
+        ilist=ilist,
+        bwsai=bwsai,
+        bwt_sym=bwt_sym,
+    )

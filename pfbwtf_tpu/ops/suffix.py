@@ -1,0 +1,215 @@
+"""Suffix-array construction by prefix doubling.
+
+The reference uses SACA-K / gSACA-K induced sorting (gsa/gsacak.c:2494-2526),
+whose bucket scans are inherently sequential.  The TPU-native replacement is
+prefix doubling (Manber–Myers): log(n) rounds of key sorting, each fully
+parallel.  Sorting is `jax.lax.sort` on device (bitonic, massively parallel)
+and `np.lexsort` in the host reference path.  Both produce identical SAs.
+
+Two entry points:
+
+* ``suffix_array_ints`` — the `sacak_int` role (pfparser.hpp:425): SA of an
+  integer sequence terminated by a unique smallest 0.
+* ``dict_suffix_sort`` — the `gsacak` role (pfbwt.hpp:206-223): generalized
+  SA of the .dict byte array, where every EndOfWord separator is a distinct
+  symbol ordered by word index (the standard $_1 < $_2 < ... convention).
+  Equal suffix strings from different words therefore tie-break by word,
+  and true string-equality groups are recovered separately with segmented
+  polynomial hashes (`suffix_group_ids`).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import EndOfWord, EndOfDict
+
+_U64 = np.uint64
+
+# -- numpy reference path ----------------------------------------------------
+
+
+def _doubling_np(rank: np.ndarray) -> np.ndarray:
+    """Prefix doubling given initial integer keys; returns the suffix order."""
+    n = rank.shape[0]
+    rank = np.unique(rank, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    idx = np.arange(n)
+    while True:
+        if rank[-1] == 0 and n == 1:
+            return idx
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank
+        if new_rank[-1] == n - 1:
+            return order
+        k *= 2
+
+
+def suffix_array_ints_np(seq: np.ndarray) -> np.ndarray:
+    """SA of an integer sequence whose last element is the unique minimum."""
+    return _doubling_np(np.asarray(seq, dtype=np.int64))
+
+
+def dict_initial_symbols_np(dict_flat: np.ndarray):
+    """Initial doubling keys for the .dict byte array.
+
+    EndOfDict -> 0; the i-th EndOfWord -> 1+i (separators ordered by word);
+    real char c -> dwords+1+c.  Also returns per-position word ids and
+    suffix lengths (distance to the owning separator).
+    """
+    dict_flat = np.asarray(dict_flat, dtype=np.uint8)
+    D = dict_flat.shape[0]
+    is_eow = dict_flat == EndOfWord
+    dwords = int(is_eow.sum())
+    word_id = np.concatenate(([0], np.cumsum(is_eow)[:-1])).astype(np.int64)
+    sym = dict_flat.astype(np.int64) + (dwords + 1)
+    sym[is_eow] = 1 + word_id[is_eow]
+    sym[dict_flat == EndOfDict] = 0
+    sep_pos = np.flatnonzero(is_eow | (dict_flat == EndOfDict))
+    next_sep = sep_pos[np.searchsorted(sep_pos, np.arange(D))]
+    suf_len = next_sep - np.arange(D)
+    return sym, word_id, suf_len, dwords
+
+
+def dict_suffix_sort_np(dict_flat: np.ndarray):
+    """Generalized suffix order of the dict.
+
+    Returns (sa, word_id, suf_len, dwords): sa over ALL positions.
+    """
+    sym, word_id, suf_len, dwords = dict_initial_symbols_np(dict_flat)
+    sa = _doubling_np(sym)
+    return sa, word_id, suf_len, dwords
+
+
+_HB1 = _U64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2**64
+_HB2 = _U64(0xC2B2AE3D27D4EB4F)
+
+
+def _segmented_suffix_hashes_np(dict_flat: np.ndarray, suf_len: np.ndarray, base):
+    """H[i] = polynomial hash of dict_flat[i : i+suf_len[i]] mod 2**64.
+
+    Uses H[i] = (G[i] - G[i+len]) * base^{-i} with G[i] = sum_{j>=i} c_j B^j,
+    which vectorizes as two cumulative passes.
+    """
+    c = dict_flat.astype(_U64)
+    D = c.shape[0]
+    # powers[i] = base**i mod 2**64, via cumulative product
+    b = np.full(D, base, dtype=_U64)
+    b[0] = _U64(1)
+    powers = np.multiply.accumulate(b)
+    terms = c * powers
+    G = np.zeros(D + 1, dtype=_U64)
+    G[:D] = terms[::-1].cumsum(dtype=_U64)[::-1]
+    inv = _U64(pow(int(base), -1, 1 << 64))
+    binv = np.full(D, inv, dtype=_U64)
+    binv[0] = _U64(1)
+    inv_powers = np.multiply.accumulate(binv)
+    idx = np.arange(D)
+    return (G[idx] - G[idx + suf_len]) * inv_powers
+
+
+def suffix_group_ids_np(dict_flat, sa_kept, suf_len, verify: bool = True):
+    """Group ids (0-based, ascending in sorted order) for equal suffix strings.
+
+    ``sa_kept``: suffix start positions in lexicographic order (already
+    filtered to len > w).  Adjacent suffixes are merged into one group iff
+    their lengths and two independent 64-bit polynomial hashes agree; with
+    ``verify`` the byte equality of each multi-member group is checked
+    exactly, making the result fully deterministic rather than
+    hash-probabilistic.
+    """
+    h1 = _segmented_suffix_hashes_np(dict_flat, suf_len, _HB1)
+    h2 = _segmented_suffix_hashes_np(dict_flat, suf_len, _HB2)
+    ls = suf_len[sa_kept]
+    e = (
+        (ls[1:] == ls[:-1])
+        & (h1[sa_kept][1:] == h1[sa_kept][:-1])
+        & (h2[sa_kept][1:] == h2[sa_kept][:-1])
+    )
+    gid = np.concatenate(([0], np.cumsum(~e))).astype(np.int64)
+    if verify and e.any():
+        flat = np.asarray(dict_flat)
+        for i in np.flatnonzero(e):
+            a, b_ = sa_kept[i], sa_kept[i + 1]
+            L = int(ls[i])
+            if not np.array_equal(flat[a : a + L], flat[b_ : b_ + L]):
+                raise AssertionError("suffix hash collision — please report")
+    return gid
+
+
+# -- JAX path ----------------------------------------------------------------
+
+
+@jax.jit
+def _doubling_jax(keys):
+    """Prefix doubling on device with early exit via lax.while_loop.
+
+    All shapes are static (the carry is the dense rank array); the loop ends
+    as soon as ranks are all distinct, after at most ceil(log2 n) rounds.
+    Each round is one two-key sort (`jnp.lexsort` lowers to lax.sort) plus a
+    scan — every step parallel, no induced-sort bucket serialism.
+    """
+    n = keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+
+    def densify(order, r1, r2):
+        changed = jnp.concatenate(
+            (
+                jnp.zeros(1, jnp.int64),
+                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int64),
+            )
+        )
+        new_rank = jnp.cumsum(changed)
+        return jnp.zeros(n, jnp.int64).at[order].set(new_rank)
+
+    order0 = jnp.argsort(keys.astype(jnp.int64))
+    rank = densify(order0, keys.astype(jnp.int64)[order0], jnp.zeros(n, jnp.int64))
+
+    def cond(carry):
+        rank, k = carry
+        return (jnp.max(rank) < n - 1) & (k < n)
+
+    def body(carry):
+        rank, k = carry
+        key2 = jnp.where(idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], -1)
+        order = jnp.lexsort((key2, rank))
+        rank = densify(order, rank[order], key2[order])
+        return rank, k * 2
+
+    rank, _ = jax.lax.while_loop(cond, body, (rank, jnp.int64(1)))
+    return jnp.argsort(rank), rank
+
+
+def suffix_array_ints_jax(seq) -> jnp.ndarray:
+    """SA of an integer sequence whose last element is the unique minimum."""
+    seq = jnp.asarray(seq, dtype=jnp.int64)
+    order, _ = _doubling_jax(seq)
+    return order
+
+
+def dict_suffix_sort_jax(dict_flat):
+    """Generalized dict suffix order on device (gsacak role)."""
+    dict_flat = jnp.asarray(dict_flat, dtype=jnp.uint8)
+    D = dict_flat.shape[0]
+    is_eow = dict_flat == EndOfWord
+    dwords = jnp.sum(is_eow.astype(jnp.int64))
+    word_id = jnp.concatenate(
+        (jnp.zeros(1, jnp.int64), jnp.cumsum(is_eow.astype(jnp.int64))[:-1])
+    )
+    sym = dict_flat.astype(jnp.int64) + (dwords + 1)
+    sym = jnp.where(is_eow, 1 + word_id, sym)
+    sym = jnp.where(dict_flat == EndOfDict, 0, sym)
+    sa, rank = _doubling_jax(sym)
+    return sa, rank, word_id, dwords

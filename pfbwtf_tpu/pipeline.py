@@ -1,0 +1,128 @@
+"""Staged pipeline driver: parse -> parse-BWT -> final BWT.
+
+Replicates the reference's checkpoint protocol exactly (SURVEY.md §5.4):
+``run_parser`` writes .dict/.occ/.parse/.n[/.docs] + .bwlast/.ilist[/.bwsai]
+(pfbwt-f.cpp:209-245), and ``run_pfbwt`` resumes from exactly those files
+(pfbwt-f.cpp:275-349), so the two stages can run in different processes /
+invocations (--parse-only / --pfbwt-only).
+"""
+
+import sys
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .constants import EndOfDict, EndOfWord, EXT
+from .io import formats
+from .ops.bwt import assemble_bwt
+from .ops.parse import ParseResult, ParserParams, parse_fasta
+from .ops.parse_bwt import bwt_of_parse
+from .utils.timer import task_timer
+
+U32, U64 = formats.U32, formats.U64
+
+
+def dict_flat_from_phrases(phrases) -> np.ndarray:
+    body = bytes([EndOfWord]).join(phrases) + bytes([EndOfWord, EndOfDict])
+    return np.frombuffer(body, dtype=np.uint8)
+
+
+def save_parser(res: ParseResult, prefix: str, dtype=U64):
+    """save_parser equivalent (pfbwt_io.hpp:234-249)."""
+    formats.write_dict(prefix + "." + EXT.DICT, res.phrases)
+    formats.write_occ(prefix + "." + EXT.OCC, res.occs, dtype)
+    formats.write_parse_ranks(prefix + "." + EXT.PARSE, res.parse_ranks)
+    if res.params.store_docs:
+        formats.write_docs(prefix + "." + EXT.DOCS, res.doc_names, res.doc_starts)
+    formats.write_n(prefix + "." + EXT.N, res.n)
+
+
+def save_parse_bwt(res: ParseResult, prefix: str, dtype=U64, sa: bool = True):
+    """Stage-2 output (pfbwt_io.hpp:287-297)."""
+    pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=sa)
+    formats.write_u8(prefix + "." + EXT.BWLST, pb.bwlast)
+    formats.write_uint(prefix + "." + EXT.ILIST, pb.ilist, dtype)
+    if sa:
+        formats.write_uint(prefix + "." + EXT.BWSAI, pb.bwsai, dtype)
+    return pb
+
+
+@dataclass
+class PfbwtConfig:
+    prefix: str
+    w: int = 10
+    sa: bool = False
+    rssa: bool = False
+    verbose: bool = False
+    dtype: np.dtype = U64
+    stdout_ext: str = ""  # '-c <ext>': route one output to stdout
+
+
+def run_parser(
+    in_fname: str, output: str, params: ParserParams, dtype=U64
+) -> int:
+    """Stage 1+2: parse, write checkpoint files; returns n."""
+    with task_timer("parsing input"):
+        res = parse_fasta(in_fname, params)
+    with task_timer("finalizing parse, writing dict, occs, and ranks"):
+        save_parser(res, output, dtype)
+    with task_timer("ranking and bwt-ing parse and processing last-chars"):
+        save_parse_bwt(res, output, dtype, sa=params.get_sai)
+    return res.n
+
+
+def _out_handle(cfg: PfbwtConfig, ext: str):
+    if cfg.stdout_ext == ext:
+        return sys.stdout.buffer
+    return open(cfg.prefix + "." + ext, "wb")
+
+
+def run_pfbwt(cfg: PfbwtConfig, n: Optional[int] = None):
+    """Stage 3: load checkpoint files, assemble final BWT, write outputs."""
+    prefix = cfg.prefix
+    dict_flat = formats.read_dict_flat(prefix + "." + EXT.DICT)
+    occs = formats.read_occ(prefix + "." + EXT.OCC, cfg.dtype)
+    bwlast = formats.read_u8(prefix + "." + EXT.BWLST)
+    ilist = formats.read_uint(prefix + "." + EXT.ILIST, cfg.dtype)
+    any_sa = cfg.sa or cfg.rssa
+    bwsai = (
+        formats.read_uint(prefix + "." + EXT.BWSAI, cfg.dtype) if any_sa else None
+    )
+    if n is None:
+        n = formats.read_n(prefix + "." + EXT.N)
+    with task_timer(
+        "generating final BWT w/ full and/or run-length SA"
+        if any_sa
+        else "generating final BWT w/o SA"
+    ):
+        res = assemble_bwt(
+            dict_flat,
+            cfg.w,
+            occs.astype(np.int64),
+            bwlast,
+            ilist.astype(np.int64),
+            bwsai,
+            n,
+            want_sa=cfg.sa,
+            want_rssa=cfg.rssa,
+            sa_dtype=cfg.dtype,
+        )
+    bwt_fp = _out_handle(cfg, EXT.BWT)
+    bwt_fp.write(res.bwt.tobytes())
+    if bwt_fp is not sys.stdout.buffer:
+        bwt_fp.close()
+    if cfg.sa:
+        sa_fp = _out_handle(cfg, EXT.SA)
+        sa_fp.write(res.sa.astype(cfg.dtype).tobytes())
+        if sa_fp is not sys.stdout.buffer:
+            sa_fp.close()
+    if cfg.rssa:
+        with open(prefix + "." + EXT.SSA, "wb") as f:
+            f.write(res.ssa.astype(cfg.dtype).tobytes())
+        with open(prefix + "." + EXT.ESA, "wb") as f:
+            f.write(res.esa.astype(cfg.dtype).tobytes())
+    print(f"n: {n}", file=sys.stderr)
+    print(f"r: {res.nruns}", file=sys.stderr)
+    print(f"n/r: {n / res.nruns:.3f}", file=sys.stderr)
+    return res
