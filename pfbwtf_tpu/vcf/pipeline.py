@@ -1,0 +1,152 @@
+"""vcf_to_bwt: the end-to-end FASTA+VCF -> BWT(+SA+MA) pipeline.
+
+Orchestration equivalent of vcf_to_bwt.py (reference :184-293), minus the
+process graph: where the reference wires `vcf_scan | pfbwt-f64 --parse-only`
+per haplotype through a multiprocessing.Pool and merges with merge_pfp, we
+scan every haplotype (data-parallel-friendly, each independent), build ONE
+parse over the concatenated collection — exactly equivalent to the
+reference's operator+= fold, because the merged parse is a pure function of
+the concatenated padded text (see ops/parse.py docstring) — and emit the
+final BWT in one assembly pass.  The SA->MA permute consumes the SA array
+directly instead of a unix pipe (vcf_to_bwt.py:258-285).
+
+Haplotype order matches the reference: [ref] + [sample h0, sample h1, ...]
+(vcf_to_bwt.py:191-192).
+"""
+
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..io import formats
+from ..io.fasta import write_fai
+from ..markers.ma import marker_array_from_sa, write_marker_array
+from ..markers.mps import write_mps_runs, read_mps_runs
+from ..markers.rle_window import RleWindowArray
+from ..ops.bwt import assemble_bwt
+from ..ops.parse import ParserParams, parse_records
+from ..ops.parse_bwt import bwt_of_parse
+from ..pipeline import dict_flat_from_phrases, save_parse_bwt, save_parser
+from ..utils.timer import task_timer
+from .reader import VCF, merge_vcfs
+from .scan import ScanResult, scan_vcf_sample, write_scan_outputs
+
+
+@dataclass
+class VcfToBwtConfig:
+    fasta: str
+    vcfs: List[str]
+    output: str = "out"
+    samples: Optional[List[str]] = None  # default: all samples in first VCF
+    wsize: int = 10
+    mod: int = 100
+    ma_wsize: int = 1
+    sa: bool = False
+    rssa: bool = False
+    ma: bool = False
+    save_fasta: bool = False
+    keep_parse: bool = True
+    threads: int = 1
+    dtype: np.dtype = formats.U64
+
+
+def vcf_to_bwt(cfg: VcfToBwtConfig):
+    write_fai(cfg.fasta)
+    vcf = merge_vcfs(cfg.vcfs)
+    samples = cfg.samples if cfg.samples else list(vcf.samples)
+
+    # scan ref + every haplotype (embarrassingly parallel across prefixes)
+    prefixes = []  # (prefix_name, ScanResult)
+    with task_timer("scanning VCF haplotypes"):
+        ref_scan = scan_vcf_sample(
+            vcf, cfg.fasta, "", 0, w=cfg.wsize, ma_wsize=cfg.ma_wsize,
+            ref_only=True, want_markers=cfg.ma,
+        )
+        prefixes.append((cfg.output + ".ref", ref_scan))
+        for sample in samples:
+            for hap in (0, 1):
+                scan = scan_vcf_sample(
+                    vcf, cfg.fasta, sample, hap, w=cfg.wsize,
+                    ma_wsize=cfg.ma_wsize, want_markers=cfg.ma,
+                )
+                prefixes.append((f"{cfg.output}.{sample}.{hap}", scan))
+
+    if cfg.save_fasta:
+        for name, scan in prefixes:
+            write_scan_outputs(scan, name, cfg.wsize)
+
+    # merged .mps: offset each prefix's runs by its cumulative text length
+    # (merge_mps semantics, src/merge_mps.cpp:63-81)
+    if cfg.ma:
+        with task_timer("merging marker positions"), open(
+            cfg.output + ".mps", "wb"
+        ) as ofp:
+            bias = 0
+            for name, scan in prefixes:
+                starts, ends, markers = read_mps_runs(scan.mps_bytes)
+                write_mps_runs(
+                    ofp,
+                    (starts.astype(np.int64) + bias).astype(np.uint64),
+                    (ends.astype(np.int64) + bias).astype(np.uint64),
+                    markers,
+                )
+                bias += scan.n(cfg.wsize)
+
+    # one parse over the whole collection == merge_pfp fold of per-haplotype
+    # parses (vcf_to_bwt.py:242-248)
+    all_records = [rec for _, scan in prefixes for rec in scan.records]
+    params = ParserParams(
+        w=cfg.wsize,
+        p=cfg.mod,
+        get_sai=True,
+        store_docs=True,
+        non_acgt_to_a=True,
+    )
+    with task_timer("parsing collection"):
+        res = parse_records(all_records, params)
+    if cfg.keep_parse:
+        save_parser(res, cfg.output, cfg.dtype)
+
+    with task_timer("bwt of parse"):
+        pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=True)
+    if cfg.keep_parse:
+        formats.write_u8(cfg.output + ".bwlast", pb.bwlast)
+        formats.write_uint(cfg.output + ".ilist", pb.ilist, cfg.dtype)
+        formats.write_uint(cfg.output + ".bwsai", pb.bwsai, cfg.dtype)
+
+    want_sa_vals = cfg.sa or cfg.ma
+    with task_timer("generating final BWT"):
+        bwt_res = assemble_bwt(
+            dict_flat_from_phrases(res.phrases),
+            cfg.wsize,
+            res.occs.astype(np.int64),
+            pb.bwlast,
+            pb.ilist,
+            pb.bwsai,
+            res.n,
+            want_sa=want_sa_vals,
+            want_rssa=cfg.rssa,
+            sa_dtype=cfg.dtype,
+        )
+    with open(cfg.output + ".bwt", "wb") as f:
+        f.write(bwt_res.bwt.tobytes())
+    if cfg.sa:
+        with open(cfg.output + ".sa", "wb") as f:
+            f.write(bwt_res.sa.astype(cfg.dtype).tobytes())
+    if cfg.rssa:
+        with open(cfg.output + ".ssa", "wb") as f:
+            f.write(bwt_res.ssa.astype(cfg.dtype).tobytes())
+        with open(cfg.output + ".esa", "wb") as f:
+            f.write(bwt_res.esa.astype(cfg.dtype).tobytes())
+    if cfg.ma:
+        with task_timer("constructing marker array"):
+            mai = RleWindowArray(cfg.output + ".mps")
+            starts, ends, markers = marker_array_from_sa(
+                bwt_res.sa.astype(np.int64), mai
+            )
+            with open(cfg.output + ".ma", "wb") as f:
+                write_mps_runs(f, starts, ends, markers)
+    print(f"n: {res.n}\nr: {bwt_res.nruns}", file=sys.stderr)
+    return bwt_res

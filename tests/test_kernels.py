@@ -1,0 +1,93 @@
+"""Device-kernel equivalence: the JAX paths must reproduce the numpy
+reference paths exactly (which are in turn parity-tested vs the reference)."""
+
+import numpy as np
+
+from pfbwtf_tpu.ops import hash as hash_ops
+from pfbwtf_tpu.ops import suffix
+
+
+def test_wang_hash_known_values():
+    # oracle: evaluate the published Wang mix in plain Python ints
+    def wang_py(key):
+        M = (1 << 64) - 1
+        key = ((~key & M) + ((key << 21) & M)) & M
+        key ^= key >> 24
+        key = (key + ((key << 3) & M) + ((key << 8) & M)) & M
+        key ^= key >> 14
+        key = (key + ((key << 2) & M) + ((key << 4) & M)) & M
+        key ^= key >> 28
+        key = (key + ((key << 31) & M)) & M
+        return key
+
+    keys = np.array([0, 1, 2, 0xDEADBEEF, (1 << 64) - 1, 0x123456789ABCDEF0],
+                    dtype=np.uint64)
+    expect = np.array([wang_py(int(k)) for k in keys], dtype=np.uint64)
+    got = hash_ops.wang_hash_np(keys)
+    assert np.array_equal(got, expect)
+    got_jax = np.asarray(hash_ops.wang_hash_jax(keys))
+    assert np.array_equal(got_jax, expect)
+
+
+def test_window_kmers_matches_rolling():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=500, dtype=np.uint8)
+    w = 10
+    km = hash_ops.window_kmers_np(codes, w)
+    # rolling oracle
+    mask = (1 << (2 * w)) - 1
+    k = 0
+    for i, c in enumerate(codes):
+        k = ((k << 2) | int(c)) & mask
+        assert km[i] == k, i
+    km_jax = np.asarray(hash_ops.window_kmers_jax(codes, w))
+    assert np.array_equal(km, km_jax)
+
+
+def test_hash_scan_jax_matches_np():
+    rng = np.random.default_rng(1)
+    chars = rng.choice(list(b"ACGT"), size=4000).astype(np.uint8)
+    from pfbwtf_tpu.utils.tables import NTOA_TABLE
+
+    codes = NTOA_TABLE[chars]
+    _, h_np, cut_np = hash_ops.hash_scan_np(chars, 10, 17)
+    h_j, cut_j = hash_ops.hash_scan_jax(codes, 10, 17)
+    assert np.array_equal(h_np, np.asarray(h_j))
+    assert np.array_equal(cut_np, np.asarray(cut_j))
+
+
+def _naive_sa_ints(seq):
+    seq = list(seq)
+    return sorted(range(len(seq)), key=lambda i: seq[i:])
+
+
+def test_suffix_array_ints_np_vs_naive():
+    rng = np.random.default_rng(2)
+    for n in [1, 2, 5, 50, 300]:
+        seq = rng.integers(1, 5, size=n).tolist() + [0]
+        arr = np.array(seq)
+        got = suffix.suffix_array_ints_np(arr)
+        assert got.tolist() == _naive_sa_ints(seq)
+
+
+def test_suffix_array_ints_jax_matches_np():
+    rng = np.random.default_rng(3)
+    for n in [2, 17, 128, 1000]:
+        seq = np.concatenate((rng.integers(1, 6, size=n), [0]))
+        a = suffix.suffix_array_ints_np(seq)
+        b = np.asarray(suffix.suffix_array_ints_jax(seq))
+        assert np.array_equal(a, b), n
+
+
+def test_dict_suffix_sort_jax_matches_np():
+    from pfbwtf_tpu.ops.parse import ParserParams, parse_fasta
+    from pfbwtf_tpu.pipeline import dict_flat_from_phrases
+
+    res = parse_fasta("/root/reference/tests/data/single_chrom.fa",
+                      ParserParams(w=10, p=10))
+    dict_flat = dict_flat_from_phrases(res.phrases)
+    sa_np, word_np, suf_len, dwords = suffix.dict_suffix_sort_np(dict_flat)
+    sa_j, _, word_j, dwords_j = suffix.dict_suffix_sort_jax(dict_flat)
+    assert int(dwords_j) == dwords
+    assert np.array_equal(word_np, np.asarray(word_j))
+    assert np.array_equal(sa_np, np.asarray(sa_j))
