@@ -1,0 +1,101 @@
+"""pfbwt-f CLI: flag-compatible with the reference binary
+(src/pfbwt-f.cpp:102-182).
+
+    python -m pfbwtf_tpu.cli.pfbwt_f [options] <fasta file>
+
+Width: ``--u32`` selects the 32-bit build's file widths (pfbwt-f);
+default is 64-bit (pfbwt-f64).
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..io import formats
+from ..ops.parse import ParserParams
+from ..pipeline import PfbwtConfig, run_parser, run_pfbwt
+from ..utils.errors import PfbwtError
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(
+        prog="pfbwt-f",
+        description="prefix-free parsing BWT for genomic data (TPU-native)",
+    )
+    ap.add_argument("fasta", nargs="?", default="-")
+    ap.add_argument("-o", "--output", default="")
+    ap.add_argument("-s", "--sa", action="store_true",
+                    help="output full suffix array to <prefix>.sa")
+    ap.add_argument("-r", "--rssa", action="store_true",
+                    help="output run-length sampled SA to .ssa/.esa")
+    ap.add_argument("-w", "--window-size", type=int, default=10, dest="w")
+    ap.add_argument("-p", "--mod-val", type=int, default=100, dest="p")
+    ap.add_argument("-m", "--mmap", action="store_true",
+                    help="accepted for compatibility (host arrays are "
+                         "memory-mapped on demand)")
+    ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--pfbwt-only", action="store_true")
+    ap.add_argument("--trim-non-acgt", action="store_true")
+    ap.add_argument("--non-acgt-to-a", action="store_true")
+    ap.add_argument("--print-docs", action="store_true")
+    ap.add_argument("-c", "--stdout", default="", dest="stdout_ext",
+                    help="output file ending <ext> goes to stdout (bwt, sa)")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--u32", action="store_true",
+                    help="32-bit integer file widths (reference pfbwt-f)")
+    ap.add_argument("-f", action="store_true", help=argparse.SUPPRESS)  # legacy
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    print("==== Command line:", " ".join(sys.argv), file=sys.stderr)
+    if args.non_acgt_to_a and args.trim_non_acgt:
+        print("cannot have both --non-acgt-to-a and --trim-non-acgt",
+              file=sys.stderr)
+        return 1
+    if args.fasta == "-" and not args.output:
+        print("if reading from stdin, need a prefix for output files (-o)",
+              file=sys.stderr)
+        return 1
+    if args.parse_only and args.pfbwt_only:
+        print("cannot simultaneously do parse_only and pfbwt_only",
+              file=sys.stderr)
+        return 1
+    output = args.output or args.fasta
+    dtype = formats.U32 if args.u32 else formats.U64
+    try:
+        n = None
+        if not args.pfbwt_only:
+            print("running parser...", file=sys.stderr)
+            params = ParserParams(
+                w=args.w,
+                p=args.p,
+                get_sai=args.sa or args.rssa,
+                store_docs=args.print_docs,
+                non_acgt_to_a=args.non_acgt_to_a,
+                trim_non_acgt=args.trim_non_acgt,
+                verbose=args.verbose,
+            )
+            n = run_parser(args.fasta, output, params, dtype)
+        if not args.parse_only:
+            print("generating BWT using pfbwt algorithm...", file=sys.stderr)
+            cfg = PfbwtConfig(
+                prefix=output,
+                w=args.w,
+                sa=args.sa,
+                rssa=args.rssa,
+                verbose=args.verbose,
+                dtype=dtype,
+                stdout_ext=args.stdout_ext,
+            )
+            run_pfbwt(cfg, n)
+    except PfbwtError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

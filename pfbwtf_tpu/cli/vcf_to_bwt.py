@@ -1,0 +1,61 @@
+"""vcf_to_bwt CLI: flag surface of the reference orchestrator
+(vcf_to_bwt.py:296-320)."""
+
+import argparse
+import sys
+
+from ..io import formats
+from ..vcf.pipeline import VcfToBwtConfig, vcf_to_bwt
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vcf_to_bwt")
+    ap.add_argument("fasta", help="reference fasta file")
+    ap.add_argument("vcf", nargs="+", help="vcf files with haplotype panel")
+    ap.add_argument("--samples", "-S",
+                    help="file of newline-delimited samples (default: all)")
+    ap.add_argument("--threads", "-t", type=int, default=1)
+    ap.add_argument("--save_fasta", "-f", action="store_true")
+    ap.add_argument("-o", default="out")
+    ap.add_argument("--no_merge", action="store_true",
+                    help="accepted for compatibility (merge is implicit)")
+    ap.add_argument("--clean", action="store_true")
+    ap.add_argument("--ma", "-m", action="store_true",
+                    help="build marker array")
+    ap.add_argument("--keep_parse", action="store_true")
+    ap.add_argument("-s", "--sa", action="store_true")
+    ap.add_argument("-r", "--rssa", action="store_true")
+    ap.add_argument("--mmap", "-M", action="store_true")
+    ap.add_argument("--ma_wsize", default=1, type=int)
+    ap.add_argument("--wsize", default=10, type=int)
+    ap.add_argument("--mod", default=10, type=int)
+    ap.add_argument("--u32", action="store_true")
+    args = ap.parse_args(argv)
+
+    samples = None
+    if args.samples:
+        samples = [
+            s for s in open(args.samples).read().strip().split("\n") if s
+        ]
+    cfg = VcfToBwtConfig(
+        fasta=args.fasta,
+        vcfs=args.vcf,
+        output=args.o,
+        samples=samples,
+        wsize=args.wsize,
+        mod=args.mod,
+        ma_wsize=args.ma_wsize,
+        sa=args.sa,
+        rssa=args.rssa,
+        ma=args.ma,
+        save_fasta=args.save_fasta,
+        keep_parse=args.keep_parse or not args.clean,
+        threads=args.threads,
+        dtype=formats.U32 if args.u32 else formats.U64,
+    )
+    vcf_to_bwt(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""Parse merging (merge_pfp equivalent).
+
+The reference merges saved parses by replaying every rhs phrase through the
+lhs's freq map with a junction re-hash (PfParser::operator+=,
+pfparser.hpp:194-263).  Two exactness facts make the array-native merge
+simple (proved by the operator+= algebra tests):
+
+1. A finalized parse losslessly encodes its text: consecutive phrases
+   overlap by exactly w chars, so C = strip_sentinels(join(phrases)).
+2. The merged parse equals the parse of the concatenated padded text,
+   because every document ends with w pad 'A's, which resets the rolling
+   k-mer to the A^w state the junction re-hash reproduces
+   (pfparser.hpp:226-245).
+
+So merging = reconstruct each shard's text, concatenate, reparse.  The
+reparse is the vectorized hash scan — O(total) parallel work, same as the
+reference's serial re-processing but shardable; the sharded-device variant
+reuses per-shard cut masks and only recomputes junction windows
+(parallel/sharded.py).
+"""
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import Dollar
+from ..io import formats
+from ..io.fasta import read_fasta_bytes
+from ..ops.parse import (
+    ParserParams,
+    ParseResult,
+    build_stream,
+    finalize_parse,
+    normalize_records,
+    parse_stream_np,
+)
+from ..utils.errors import die
+
+
+def reconstruct_text(prefix: str, w: int):
+    """Rebuild the char stream C of a saved (finalized) parse from its
+    .dict + .parse files, plus doc info if present."""
+    phrases = formats.read_dict(prefix + ".dict")
+    ranks = formats.read_parse_ranks(prefix + ".parse")
+    if ranks.size == 0:
+        die(f"{prefix}: empty parse")
+    parts = [phrases[int(ranks[0]) - 1]]
+    for r in ranks[1:]:
+        parts.append(phrases[int(r) - 1][w:])
+    joined = b"".join(parts)
+    # strip the leading Dollar and trailing w Dollars
+    assert joined[0] == Dollar and joined[-1] == Dollar
+    C = np.frombuffer(joined, dtype=np.uint8)[1:-w]
+    doc_names: List[str] = []
+    doc_starts: List[int] = []
+    if os.path.exists(prefix + ".docs"):
+        doc_names, doc_starts = formats.read_docs(prefix + ".docs")
+    return C, doc_names, doc_starts
+
+
+def load_or_generate_text(prefix: str, params: ParserParams):
+    """load_or_generate_parser_w_log semantics (pfbwt_io.hpp:270-285):
+    use the saved parse checkpoint when present, else parse the FASTA at
+    ``prefix`` directly."""
+    if formats.parse_files_exist(prefix):
+        return reconstruct_text(prefix, params.w)
+    if not os.path.exists(prefix):
+        die(f"ERROR: {prefix} not found, cannot add it to parse!")
+    records = read_fasta_bytes(prefix)
+    C, names, starts = build_stream(records, params)
+    if not params.store_docs:
+        names, starts = [], []
+    return C, names, starts
+
+
+def merge_parse_prefixes(
+    prefixes: List[str], params: ParserParams
+) -> ParseResult:
+    """merge_pfp core: fold all prefixes into one finalized parse."""
+    chunks = []
+    doc_names: List[str] = []
+    doc_starts: List[int] = []
+    off = 0
+    for prefix in prefixes:
+        C, names, starts = load_or_generate_text(prefix, params)
+        chunks.append(C)
+        doc_names.extend(names)
+        doc_starts.extend(int(s) + off for s in starts)
+        off += C.shape[0]
+    C = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    starts_arr, ends_arr = parse_stream_np(C, params)
+    return finalize_parse(
+        C,
+        starts_arr,
+        ends_arr,
+        params,
+        doc_names=doc_names if params.store_docs else [],
+        doc_starts=doc_starts if params.store_docs else [],
+        nseqs=len(doc_names),
+    )

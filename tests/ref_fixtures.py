@@ -24,6 +24,7 @@ class ReferenceTools:
     parse64: str
     pfbwt64: str
     pfbwt32: str
+    merge64: str
 
     @classmethod
     def build(cls) -> Optional["ReferenceTools"]:
@@ -34,6 +35,7 @@ class ReferenceTools:
             "parse64": os.path.join(BUILD_DIR, "ref_parse64"),
             "pfbwt64": os.path.join(BUILD_DIR, "ref_pfbwt64"),
             "pfbwt32": os.path.join(BUILD_DIR, "ref_pfbwt32"),
+            "merge64": os.path.join(BUILD_DIR, "ref_merge_pfp64"),
         }
         if all(os.access(t, os.X_OK) for t in targets.values()):
             return cls(**targets)
@@ -59,6 +61,18 @@ class ReferenceTools:
             check=True,
             capture_output=True,
         )
+
+    def run_merge_pfp(self, prefixes, output, w=10, p=100, sai=True,
+                      parse_bwt=True, docs=False, threads=1):
+        cmd = [self.merge64, "-w", str(w), "-p", str(p), "-o", output,
+               "-t", str(threads)]
+        if sai:
+            cmd.append("-s")
+        if parse_bwt:
+            cmd.append("--parse-bwt")
+        if docs:
+            cmd.append("--docs")
+        subprocess.run(cmd + list(prefixes), check=True, capture_output=True)
 
 
 def _write_sources():
@@ -121,6 +135,12 @@ def _compile(targets):
         cxx_common
         + ["ref_pfbwt_main.cpp", "utils32.o", "gsacak32.o", "-lz",
            "-o", targets["pfbwt32"]]
+    )
+    run(
+        cxx_common
+        + ["-DM64", os.path.join(REF, "src/merge_pfp.cpp"),
+           "utils64.o", "gsacak64.o", "-lz", "-lpthread",
+           "-o", targets["merge64"]]
     )
 
 

@@ -1,0 +1,117 @@
+"""CLI smoke tests: flag surfaces + staged --parse-only/--pfbwt-only
+checkpoint protocol (pfbwt-f.cpp:353-366)."""
+
+import os
+import shutil
+
+import numpy as np
+
+from pfbwtf_tpu.cli import (
+    dump_markers,
+    merge_mps,
+    merge_pfp,
+    mps_to_ma,
+    pfbwt_f,
+    simplebwt,
+    vcf_scan,
+    vcf_to_bwt,
+)
+
+from .ref_fixtures import random_fasta, tmp_prefix
+
+DATA = "/root/reference/tests/data"
+
+
+def test_pfbwt_staged_equals_oneshot(rng):
+    fa = random_fasta(tmp_prefix("cli") + ".fa", rng, nrecords=2, length=1500)
+    one = tmp_prefix("one")
+    staged = tmp_prefix("staged")
+    assert pfbwt_f.main([fa, "-o", one, "-s", "-r", "-p", "10"]) == 0
+    assert pfbwt_f.main([fa, "-o", staged, "-s", "-r", "-p", "10",
+                         "--parse-only"]) == 0
+    assert not os.path.exists(staged + ".bwt")
+    assert pfbwt_f.main([fa, "-o", staged, "-s", "-r", "-p", "10",
+                         "--pfbwt-only"]) == 0
+    for ext in ["bwt", "sa", "ssa", "esa"]:
+        assert (
+            open(f"{one}.{ext}", "rb").read()
+            == open(f"{staged}.{ext}", "rb").read()
+        ), ext
+
+
+def test_pfbwt_stdout_redirect(rng, capfdbinary):
+    fa = random_fasta(tmp_prefix("so") + ".fa", rng, nrecords=1, length=800)
+    out = tmp_prefix("so")
+    assert pfbwt_f.main([fa, "-o", out, "-p", "10", "-c", "bwt"]) == 0
+    stdout, _ = capfdbinary.readouterr()
+    assert not os.path.exists(out + ".bwt")
+    # round-trip: run again without redirect and compare
+    out2 = tmp_prefix("so2")
+    assert pfbwt_f.main([fa, "-o", out2, "-p", "10"]) == 0
+    assert stdout == open(out2 + ".bwt", "rb").read()
+
+
+def test_simplebwt_agrees_with_pipeline(rng):
+    fa = random_fasta(tmp_prefix("sb") + ".fa", rng, nrecords=1, length=1000)
+    out = tmp_prefix("sb")
+    assert simplebwt.main([fa, "-o", out + ".simple", "-s"]) == 0
+    # simplebwt builds BWT of the raw record (no 'A' pads); pipeline pads.
+    # Compare against a padded-input simplebwt instead:
+    from pfbwtf_tpu.cli.simplebwt import bwt_via_sa
+    from pfbwtf_tpu.io.fasta import read_fasta_bytes
+
+    recs = read_fasta_bytes(fa)
+    padded = np.concatenate(
+        [np.concatenate((s, np.full(10, ord("A"), np.uint8))) for _, s in recs]
+    )
+    bwt, _ = bwt_via_sa(padded)
+    assert pfbwt_f.main([fa, "-o", out, "-p", "10"]) == 0
+    assert np.array_equal(
+        np.frombuffer(open(out + ".bwt", "rb").read(), dtype=np.uint8), bwt
+    )
+
+
+def test_vcf_scan_and_tools_pipeline():
+    out = tmp_prefix("vs")
+    fa = out + ".ref.input.fa"
+    shutil.copy(f"{DATA}/single_chrom.fa", fa)
+    vcfgz = f"{DATA}/single_chrom.vcf.gz"
+    # ref-only scan with markers
+    assert vcf_scan.main(["-f", fa, "-o", out, "-r", "-m",
+                          "-x", "1", vcfgz]) == 0
+    assert os.path.exists(out + ".ref.fa")
+    assert os.path.exists(out + ".ref.mps")
+    # a sample scan
+    from pfbwtf_tpu.vcf.reader import VCF
+
+    sample = VCF(vcfgz).samples[0]
+    assert vcf_scan.main(["-f", fa, "-o", out, "-S", sample, "-H", "1",
+                          "-m", "-x", "1", vcfgz]) == 0
+    prefix = f"{out}.{sample}.1"
+    assert os.path.exists(prefix + ".fa")
+    # merge_mps over the two prefixes
+    merged = out + ".merged.mps"
+    assert merge_mps.main([merged, out + ".ref", prefix]) == 0
+    assert os.path.getsize(merged) > 0
+    assert dump_markers.main([merged]) == 0
+
+
+def test_vcf_to_bwt_cli_with_sample_file():
+    out = tmp_prefix("v2b")
+    fa = out + ".input.fa"
+    shutil.copy(f"{DATA}/single_chrom.fa", fa)
+    vcfgz = f"{DATA}/single_chrom.vcf.gz"
+    from pfbwtf_tpu.vcf.reader import VCF
+
+    samples = VCF(vcfgz).samples[:2]
+    sfile = out + ".samples"
+    with open(sfile, "w") as f:
+        f.write("\n".join(samples) + "\n")
+    assert vcf_to_bwt.main([fa, vcfgz, "-o", out, "-S", sfile, "-s", "-m",
+                            "--keep_parse"]) == 0
+    assert os.path.exists(out + ".bwt")
+    assert os.path.exists(out + ".ma")
+    sa = np.frombuffer(open(out + ".sa", "rb").read(), dtype=np.uint64)
+    n = int(sa[0])
+    # 1 ref + 2 samples x 2 haps = 5 copies of (10000 + 10 pad)
+    assert n == 5 * 10010
