@@ -1,0 +1,115 @@
+"""Backend-selecting engine: numpy reference path vs device (JAX) path.
+
+The numpy path is the exactness oracle (byte-verified at every stage
+against the reference implementation); the JAX path runs the same
+algorithms on TPU and is cross-checked against the numpy path in tests.
+
+Backend resolution: PFBWT_BACKEND env var ('jax'|'numpy'), else 'jax' when
+an accelerator (non-CPU) device is present, else 'numpy'.
+"""
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .ops import bwt as bwt_np
+from .ops import parse as parse_ops
+from .ops.parse import ParserParams, ParseResult
+from .ops.parse_bwt import ParseBWT, bwt_of_parse
+
+
+def default_backend() -> str:
+    env = os.environ.get("PFBWT_BACKEND", "").lower()
+    if env in ("jax", "numpy"):
+        return env
+    try:
+        import jax
+
+        if any(d.platform != "cpu" for d in jax.devices()):
+            return "jax"
+    except Exception:
+        pass
+    return "numpy"
+
+
+def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = None):
+    """Cut positions -> phrase bounds, device or host."""
+    backend = backend or default_backend()
+    if backend == "jax":
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.hash import hash_scan_jax
+        from .utils.tables import NTOA_TABLE
+        from .utils.errors import die
+
+        codes = NTOA_TABLE[C]
+        if codes.max(initial=0) > 3:
+            bad = C[codes > 3][0]
+            die(f"invalid character {bad}/{chr(bad)} in input "
+                "(use --non-acgt-to-a)")
+        _, cut = jax.jit(
+            lambda c: hash_scan_jax(c, params.w, params.p)
+        )(codes)
+        cuts = np.flatnonzero(np.asarray(cut))
+        return parse_ops.phrase_bounds_from_cuts(C.shape[0], cuts, params.w)
+    return parse_ops.parse_stream_np(C, params)
+
+
+def parse_records(records, params: ParserParams, backend: Optional[str] = None) -> ParseResult:
+    C, doc_names, doc_starts = parse_ops.build_stream(records, params)
+    starts, ends = parse_stream(C, params, backend)
+    return parse_ops.finalize_parse(
+        C,
+        starts,
+        ends,
+        params,
+        doc_names=doc_names if params.store_docs else [],
+        doc_starts=doc_starts if params.store_docs else [],
+        nseqs=len(records),
+    )
+
+
+def parse_fasta(fname: str, params: ParserParams, backend: Optional[str] = None) -> ParseResult:
+    from .io.fasta import read_fasta_bytes
+
+    return parse_records(read_fasta_bytes(fname), params, backend)
+
+
+def parse_bwt(res_or_ranks, last=None, sai=None, get_sai=True,
+              backend: Optional[str] = None) -> ParseBWT:
+    backend = backend or default_backend()
+    if isinstance(res_or_ranks, ParseResult):
+        ranks, last, sai = (
+            res_or_ranks.parse_ranks,
+            res_or_ranks.last,
+            res_or_ranks.sai,
+        )
+    else:
+        ranks = res_or_ranks
+    if backend == "jax":
+        from .ops.suffix import suffix_array_ints_jax
+
+        def sa_fn(seq):
+            return np.asarray(suffix_array_ints_jax(seq))
+
+        return bwt_of_parse(ranks, last, sai, get_sai=get_sai, sa_fn=sa_fn)
+    return bwt_of_parse(ranks, last, sai, get_sai=get_sai)
+
+
+def assemble_bwt(dict_flat, w, occs, bwlast, ilist, bwsai, n,
+                 want_sa=False, want_rssa=False, sa_dtype=np.uint64,
+                 backend: Optional[str] = None) -> bwt_np.BWTResult:
+    backend = backend or default_backend()
+    if backend == "jax":
+        from .ops.bwt_jax import assemble_bwt_jax
+
+        return assemble_bwt_jax(
+            dict_flat, w, occs, bwlast, ilist, bwsai, n,
+            want_sa=want_sa, want_rssa=want_rssa, sa_dtype=sa_dtype,
+        )
+    return bwt_np.assemble_bwt(
+        dict_flat, w, occs, bwlast, ilist, bwsai, n,
+        want_sa=want_sa, want_rssa=want_rssa, sa_dtype=sa_dtype,
+    )

@@ -21,10 +21,17 @@ from ..utils.errors import die
 _U64 = np.uint64
 
 
+_ALL_ONES = _U64(0xFFFFFFFFFFFFFFFF)
+
+
 def wang_hash_np(key: np.ndarray) -> np.ndarray:
-    """Wang 64-bit integer mix (hash.hpp:12-21), mod 2**64."""
+    """Wang 64-bit integer mix (hash.hpp:12-21), mod 2**64.
+
+    (~key is spelled key^0xFF..F: numpy's uint64 invert ufunc hits a slow
+    fallback path in this environment — 100x slower than xor.)
+    """
     key = np.asarray(key, dtype=_U64)
-    key = (~key) + (key << _U64(21))
+    key = (key ^ _ALL_ONES) + (key << _U64(21))
     key = key ^ (key >> _U64(24))
     key = (key + (key << _U64(3))) + (key << _U64(8))
     key = key ^ (key >> _U64(14))

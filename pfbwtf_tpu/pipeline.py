@@ -13,12 +13,11 @@ from typing import Optional
 
 import numpy as np
 
+from . import engine
 from .constants import EndOfDict, EndOfWord, EXT
 from .io import formats
-from .ops.bwt import assemble_bwt
-from .ops.parse import ParseResult, ParserParams, parse_fasta
-from .ops.parse_bwt import bwt_of_parse
 from .utils.timer import task_timer
+from .ops.parse import ParseResult, ParserParams
 
 U32, U64 = formats.U32, formats.U64
 
@@ -38,9 +37,10 @@ def save_parser(res: ParseResult, prefix: str, dtype=U64):
     formats.write_n(prefix + "." + EXT.N, res.n)
 
 
-def save_parse_bwt(res: ParseResult, prefix: str, dtype=U64, sa: bool = True):
+def save_parse_bwt(res: ParseResult, prefix: str, dtype=U64, sa: bool = True,
+                   backend: Optional[str] = None):
     """Stage-2 output (pfbwt_io.hpp:287-297)."""
-    pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=sa)
+    pb = engine.parse_bwt(res, get_sai=sa, backend=backend)
     formats.write_u8(prefix + "." + EXT.BWLST, pb.bwlast)
     formats.write_uint(prefix + "." + EXT.ILIST, pb.ilist, dtype)
     if sa:
@@ -57,18 +57,20 @@ class PfbwtConfig:
     verbose: bool = False
     dtype: np.dtype = U64
     stdout_ext: str = ""  # '-c <ext>': route one output to stdout
+    backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
 
 
 def run_parser(
-    in_fname: str, output: str, params: ParserParams, dtype=U64
+    in_fname: str, output: str, params: ParserParams, dtype=U64,
+    backend: Optional[str] = None
 ) -> int:
     """Stage 1+2: parse, write checkpoint files; returns n."""
     with task_timer("parsing input"):
-        res = parse_fasta(in_fname, params)
+        res = engine.parse_fasta(in_fname, params, backend)
     with task_timer("finalizing parse, writing dict, occs, and ranks"):
         save_parser(res, output, dtype)
     with task_timer("ranking and bwt-ing parse and processing last-chars"):
-        save_parse_bwt(res, output, dtype, sa=params.get_sai)
+        save_parse_bwt(res, output, dtype, sa=params.get_sai, backend=backend)
     return res.n
 
 
@@ -96,7 +98,7 @@ def run_pfbwt(cfg: PfbwtConfig, n: Optional[int] = None):
         if any_sa
         else "generating final BWT w/o SA"
     ):
-        res = assemble_bwt(
+        res = engine.assemble_bwt(
             dict_flat,
             cfg.w,
             occs.astype(np.int64),
@@ -107,6 +109,7 @@ def run_pfbwt(cfg: PfbwtConfig, n: Optional[int] = None):
             want_sa=cfg.sa,
             want_rssa=cfg.rssa,
             sa_dtype=cfg.dtype,
+            backend=cfg.backend,
         )
     bwt_fp = _out_handle(cfg, EXT.BWT)
     bwt_fp.write(res.bwt.tobytes())

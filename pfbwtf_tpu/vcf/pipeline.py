@@ -25,9 +25,8 @@ from ..io.fasta import write_fai
 from ..markers.ma import marker_array_from_sa, write_marker_array
 from ..markers.mps import write_mps_runs, read_mps_runs
 from ..markers.rle_window import RleWindowArray
-from ..ops.bwt import assemble_bwt
-from ..ops.parse import ParserParams, parse_records
-from ..ops.parse_bwt import bwt_of_parse
+from .. import engine
+from ..ops.parse import ParserParams
 from ..pipeline import dict_flat_from_phrases, save_parse_bwt, save_parser
 from ..utils.timer import task_timer
 from .reader import VCF, merge_vcfs
@@ -50,6 +49,7 @@ class VcfToBwtConfig:
     keep_parse: bool = True
     threads: int = 1
     dtype: np.dtype = formats.U64
+    backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
 
 
 def vcf_to_bwt(cfg: VcfToBwtConfig):
@@ -105,12 +105,12 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         non_acgt_to_a=True,
     )
     with task_timer("parsing collection"):
-        res = parse_records(all_records, params)
+        res = engine.parse_records(all_records, params, cfg.backend)
     if cfg.keep_parse:
         save_parser(res, cfg.output, cfg.dtype)
 
     with task_timer("bwt of parse"):
-        pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=True)
+        pb = engine.parse_bwt(res, get_sai=True, backend=cfg.backend)
     if cfg.keep_parse:
         formats.write_u8(cfg.output + ".bwlast", pb.bwlast)
         formats.write_uint(cfg.output + ".ilist", pb.ilist, cfg.dtype)
@@ -118,7 +118,7 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
 
     want_sa_vals = cfg.sa or cfg.ma
     with task_timer("generating final BWT"):
-        bwt_res = assemble_bwt(
+        bwt_res = engine.assemble_bwt(
             dict_flat_from_phrases(res.phrases),
             cfg.wsize,
             res.occs.astype(np.int64),
@@ -129,6 +129,7 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
             want_sa=want_sa_vals,
             want_rssa=cfg.rssa,
             sa_dtype=cfg.dtype,
+            backend=cfg.backend,
         )
     with open(cfg.output + ".bwt", "wb") as f:
         f.write(bwt_res.bwt.tobytes())
