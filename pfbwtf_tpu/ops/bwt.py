@@ -45,6 +45,19 @@ class BWTResult:
     esa: Optional[np.ndarray] = None
 
 
+def _dict_suffix_sort_host(dict_flat):
+    """Generalized dict suffix sort on host: native SA-IS when the toolchain
+    is available (gsacak-speed), else numpy prefix doubling."""
+    try:
+        from ..native import available, dict_suffix_sort_native
+
+        if available():
+            return dict_suffix_sort_native(dict_flat)
+    except Exception:
+        pass
+    return dict_suffix_sort_np(dict_flat)
+
+
 def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=None,
                verify_groups=True):
     """Sorted dict suffixes + their emission layout.
@@ -53,7 +66,7 @@ def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=Non
     """
     dict_flat = np.asarray(dict_flat, dtype=np.uint8)
     if sa_all is None:
-        sa_all, word_id, suf_len, _ = dict_suffix_sort_np(dict_flat)
+        sa_all, word_id, suf_len, _ = _dict_suffix_sort_host(dict_flat)
     keep = suf_len[sa_all] > w
     sa_kept = sa_all[keep]
     gid = suffix_group_ids_np(dict_flat, sa_kept, suf_len, verify=verify_groups)

@@ -19,6 +19,19 @@ from ..utils.errors import die
 from .suffix import suffix_array_ints_np
 
 
+def _parse_sa_host(seq):
+    """SA of the parse-rank sequence: native SA-IS when available, else
+    numpy doubling."""
+    try:
+        from ..native import available, suffix_array_ints_native
+
+        if available():
+            return suffix_array_ints_native(seq)
+    except Exception:
+        pass
+    return suffix_array_ints_np(seq)
+
+
 @dataclass
 class ParseBWT:
     bwlast: np.ndarray  # uint8, n+1
@@ -32,8 +45,10 @@ def bwt_of_parse(
     last: np.ndarray,
     sai: np.ndarray,
     get_sai: bool = True,
-    sa_fn=suffix_array_ints_np,
+    sa_fn=None,
 ) -> ParseBWT:
+    if sa_fn is None:
+        sa_fn = _parse_sa_host
     parse_ranks = np.asarray(parse_ranks, dtype=np.int64)
     n = parse_ranks.shape[0]
     if n == 1:
