@@ -1,0 +1,180 @@
+"""Marker subsystem unit tests.
+
+The bit-packing cases mirror the reference's GoogleTest suite
+(tests/marker_test.cpp:5-81), including the overflow-truncation behavior.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from pfbwtf_tpu.markers import (
+    DELIM,
+    MarkerPositionsWriter,
+    RleWindowArray,
+    create_marker,
+    get_allele,
+    get_pos,
+    get_seq,
+    set_allele,
+    set_pos,
+    set_seq,
+)
+from pfbwtf_tpu.markers.mps import read_mps_runs, write_mps_runs
+from pfbwtf_tpu.markers.ma import marker_array_from_sa
+
+
+# -- bit packing (marker_test.cpp parity) ------------------------------------
+
+def test_set_and_get_pos():
+    assert get_pos(set_pos(0, 100)) == 100
+
+
+def test_pos_overflow_truncates():
+    assert get_pos(set_pos(0, 0x0010000000000000)) == 0
+
+
+def test_set_and_get_seq():
+    assert get_seq(set_seq(0, 52)) == 52
+
+
+def test_seq_overflow_truncates():
+    assert get_seq(set_seq(0, 0x10000)) == 0
+
+
+def test_set_and_get_allele():
+    assert get_allele(set_allele(0, 1)) == 1
+
+
+def test_allele_overflow_truncates():
+    assert get_allele(set_allele(0, 0x10)) == 0
+
+
+def test_combined_marker():
+    x = set_pos(0, 2839742)
+    x = set_seq(x, 52)
+    x = set_allele(x, 1)
+    assert get_pos(x) == 2839742
+    assert get_seq(x) == 52
+    assert get_allele(x) == 1
+
+
+def test_create_marker_roundtrip():
+    m = create_marker(12345, 3, 7)
+    assert get_pos(m) == 12345
+    assert get_allele(m) == 3
+    assert get_seq(m) == 7
+
+
+def test_vectorized_pack():
+    pos = np.array([0, 1, 2**44 - 1], dtype=np.uint64)
+    m = create_marker(pos, 1, 2)
+    assert np.array_equal(get_pos(m), pos)
+    assert np.all(get_allele(m) == 1)
+    assert np.all(get_seq(m) == 2)
+
+
+# -- mps writer / reader -----------------------------------------------------
+
+def _collect(writer_calls, wsize=1):
+    buf = io.BytesIO()
+    w = MarkerPositionsWriter(wsize, buf)
+    for call in writer_calls:
+        if call == "finish":
+            w.finish_sequence()
+        else:
+            w.update(*call)
+    return read_mps_runs(buf.getvalue())
+
+
+def test_mps_single_marker():
+    starts, ends, markers = _collect([(5, 100, 1, 0), "finish"])
+    assert starts.tolist() == [5]
+    assert ends.tolist() == [5]
+    assert markers[0].tolist() == [int(create_marker(100, 1, 0))]
+
+
+def test_mps_run_coalescing():
+    # consecutive positions with the same marker list coalesce into one run
+    calls = [(i, 100, 1, 0) for i in range(5, 10)] + ["finish"]
+    starts, ends, markers = _collect(calls)
+    assert starts.tolist() == [5]
+    assert ends.tolist() == [9]
+
+
+def test_mps_distinct_markers_split_runs():
+    calls = [(5, 100, 1, 0), (6, 200, 1, 0), "finish"]
+    starts, ends, markers = _collect(calls)
+    assert starts.tolist() == [5, 6]
+    assert ends.tolist() == [5, 6]
+    assert markers[0].tolist() == [int(create_marker(100, 1, 0))]
+    assert markers[1].tolist() == [int(create_marker(200, 1, 0))]
+
+
+def test_mps_window_covers_w_positions():
+    # wsize=3: a marker at textpos 10 covers positions 8..10
+    starts, ends, markers = _collect([(10, 77, 2, 0), "finish"], wsize=3)
+    assert starts.tolist() == [8]
+    assert ends.tolist() == [10]
+
+
+def test_mps_roundtrip():
+    buf = io.BytesIO()
+    s = np.array([1, 10], dtype=np.uint64)
+    e = np.array([3, 12], dtype=np.uint64)
+    ms = [np.array([7], np.uint64), np.array([8, 9], np.uint64)]
+    write_mps_runs(buf, s, e, ms)
+    s2, e2, ms2 = read_mps_runs(buf.getvalue())
+    assert np.array_equal(s, s2) and np.array_equal(e, e2)
+    assert [m.tolist() for m in ms] == [m.tolist() for m in ms2]
+
+
+# -- rle window + SA->MA -----------------------------------------------------
+
+def _mps_bytes(starts, ends, markers):
+    buf = io.BytesIO()
+    write_mps_runs(buf, starts, ends, markers)
+    return buf.getvalue()
+
+
+def test_rle_window_at():
+    data = _mps_bytes(
+        np.array([2, 10], np.uint64),
+        np.array([4, 12], np.uint64),
+        [np.array([100], np.uint64), np.array([200], np.uint64)],
+    )
+    arr = RleWindowArray(data)
+    assert arr.at(3).tolist() == [100]
+    assert arr.at(5).tolist() == []
+    assert arr.at(10).tolist() == [200]
+    assert np.array_equal(arr.run_index(np.array([0, 2, 4, 5, 12, 99])),
+                          np.array([-1, 0, 0, -1, 1, -1]))
+
+
+def test_rle_window_at_range():
+    data = _mps_bytes(
+        np.array([2, 10], np.uint64),
+        np.array([4, 12], np.uint64),
+        [np.array([100], np.uint64), np.array([200], np.uint64)],
+    )
+    arr = RleWindowArray(data)
+    assert arr.at_range(0, 20).tolist() == [100, 200]
+    assert arr.at_range(5, 9).tolist() == []
+    assert arr.at_range(4, 10).tolist() == [100, 200]
+
+
+def test_marker_array_from_sa_coalesces_identical_lists():
+    # two distinct source runs with the same marker payload, adjacent in SA
+    # order, must coalesce (write_marker_array's vec_eq semantics)
+    data = _mps_bytes(
+        np.array([0, 5], np.uint64),
+        np.array([1, 6], np.uint64),
+        [np.array([42], np.uint64), np.array([42], np.uint64)],
+    )
+    arr = RleWindowArray(data)
+    sa = np.array([0, 5, 3, 6, 1], dtype=np.uint64)
+    starts, ends, markers = marker_array_from_sa(sa, arr)
+    assert starts.tolist() == [0, 3]
+    assert ends.tolist() == [1, 4]
+    assert [m.tolist() for m in markers] == [[42], [42]]
