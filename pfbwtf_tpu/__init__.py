@@ -12,9 +12,28 @@ of the reference's sequential C++.
 genome-scale offsets, so importing this package enables jax_enable_x64.
 """
 
-import jax
+from .utils.malloc_tuning import tune_malloc
+
+tune_malloc()
+
+import os  # noqa: E402
+
+import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA compiles are expensive through the
+# remote-device tunnel (minutes); cache them across processes.  The engine
+# also buckets array shapes (engine.parse_stream) so cache hits dominate.
+_cache_dir = os.environ.get(
+    "PFBWT_COMPILE_CACHE", "/tmp/pfbwtf_tpu_xla_cache"
+)
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from .constants import (  # noqa: E402
     Dollar,

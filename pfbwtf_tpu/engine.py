@@ -33,12 +33,22 @@ def default_backend() -> str:
     return "numpy"
 
 
+def _bucket_size(n: int) -> int:
+    """Round n up to a coarse grid (granularity n/8, floor 64K): bounded
+    shape count for the compile cache, <=12.5% padding waste."""
+    if n <= (1 << 16):
+        return 1 << 16
+    step = 1 << max(16, int(np.floor(np.log2(n))) - 3)
+    return -(-n // step) * step
+
+
 def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = None):
     """Cut positions -> phrase bounds, device or host."""
     backend = backend or default_backend()
     if backend == "jax":
         import jax
         import jax.numpy as jnp
+        from functools import partial
 
         from .ops.hash import hash_scan_jax
         from .utils.tables import NTOA_TABLE
@@ -49,10 +59,39 @@ def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = N
             bad = C[codes > 3][0]
             die(f"invalid character {bad}/{chr(bad)} in input "
                 "(use --non-acgt-to-a)")
-        _, cut = jax.jit(
-            lambda c: hash_scan_jax(c, params.w, params.p)
-        )(codes)
-        cuts = np.flatnonzero(np.asarray(cut))
+
+        # Two-phase cut extraction keeps device->host traffic minimal (the
+        # remote tunnel's D2H path is slow): first a scalar count, then the
+        # compacted positions at a bucketed static size.
+        @partial(jax.jit, static_argnames=("w", "p"))
+        def count_cuts(c, w, p):
+            _, cut = hash_scan_jax(c, w, p)
+            return jnp.sum(cut.astype(jnp.int64))
+
+        @partial(jax.jit, static_argnames=("w", "p", "size"))
+        def cut_positions(c, w, p, size):
+            _, cut = hash_scan_jax(c, w, p)
+            return jnp.nonzero(cut, size=size, fill_value=-1)[0]
+
+        # Bucket the input length to a power-of-two-ish grid so compiled
+        # programs are reused across inputs; pad codes are 0 ('A'), whose
+        # spurious cuts beyond the true length are stripped below.
+        n = codes.shape[0]
+        bucket = _bucket_size(n)
+        padded = np.zeros(bucket, dtype=np.uint8)
+        padded[:n] = codes
+        dev_codes = jax.device_put(padded)
+        ncuts = int(np.asarray(count_cuts(dev_codes, params.w, params.p)))
+        if ncuts == 0:
+            cuts = np.zeros(0, dtype=np.int64)
+        else:
+            # bucket the compaction size to limit recompiles
+            size = 1 << max(10, int(np.ceil(np.log2(ncuts))))
+            pos = np.asarray(
+                cut_positions(dev_codes, params.w, params.p, size)
+            )
+            pos = pos[:ncuts]
+            cuts = pos[pos < n].astype(np.int64)
         return parse_ops.phrase_bounds_from_cuts(C.shape[0], cuts, params.w)
     return parse_ops.parse_stream_np(C, params)
 

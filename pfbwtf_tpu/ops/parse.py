@@ -146,6 +146,115 @@ def _tprime(C: np.ndarray, w: int) -> np.ndarray:
     )
 
 
+_HB1 = np.uint64(0x9E3779B97F4A7C15)
+_HB2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _substring_hashes(T: np.ndarray, starts, lens, base):
+    """Polynomial hash of T[s:s+l] per (s, l), mod 2**64, via prefix sums."""
+    c = T.astype(np.uint64)
+    n = c.shape[0]
+    b = np.full(n, base, dtype=np.uint64)
+    b[0] = np.uint64(1)
+    powers = np.multiply.accumulate(b)
+    G = np.zeros(n + 1, dtype=np.uint64)
+    G[:n] = (c * powers)[::-1].cumsum(dtype=np.uint64)[::-1]
+    inv = np.uint64(pow(int(base), -1, 1 << 64))
+    binv = np.full(n, inv, dtype=np.uint64)
+    binv[0] = np.uint64(1)
+    inv_powers = np.multiply.accumulate(binv)
+    s = np.asarray(starts, dtype=np.int64)
+    return (G[s] - G[s + np.asarray(lens, dtype=np.int64)]) * inv_powers[s]
+
+
+def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Vectorized phrase dedup + byte-lex ranking.
+
+    Dedup groups phrases by (len, 128-bit substring hash); ranking sorts the
+    unique representatives byte-lexicographically via the native SA-IS
+    kernel over a separator-joined concat (no per-phrase Python work), with
+    a plain bytes sort fallback.  Returns (sorted phrase list, occs,
+    1-based rank per occurrence).
+    """
+    lens = (ends - starts + 1).astype(np.int64)
+    h1 = _substring_hashes(T, starts, lens, _HB1)
+    h2 = _substring_hashes(T, starts, lens, _HB2)
+    order = np.lexsort((h2, h1, lens))
+    l_o, h1_o, h2_o = lens[order], h1[order], h2[order]
+    new_grp = np.empty(order.shape[0], dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (
+        (l_o[1:] != l_o[:-1]) | (h1_o[1:] != h1_o[:-1]) | (h2_o[1:] != h2_o[:-1])
+    )
+    gid_in_order = np.cumsum(new_grp) - 1
+    D = int(gid_in_order[-1]) + 1
+    # group id per original occurrence; representative + count per group
+    gid = np.empty(order.shape[0], dtype=np.int64)
+    gid[order] = gid_in_order
+    rep = order[new_grp]  # first occurrence index per group
+    counts = np.bincount(gid_in_order, minlength=D)
+    rep_starts = starts[rep]
+    rep_lens = lens[rep]
+    # byte-lex order of the unique phrases
+    word_order = _lex_order_of_substrings(T, rep_starts, rep_lens)
+    # rank_of_group: 1-based lexicographic rank
+    rank_of_group = np.empty(D, dtype=np.int64)
+    rank_of_group[word_order] = np.arange(1, D + 1)
+    parse_ranks = rank_of_group[gid].astype(np.uint32)
+    occs = counts[word_order].astype(np.uint64)
+    Tb = T.tobytes()
+    phrases = [
+        Tb[rep_starts[i] : rep_starts[i] + rep_lens[i]] for i in word_order
+    ]
+    return phrases, occs, parse_ranks
+
+
+def _pack8(T: np.ndarray, starts, off: int, lens) -> np.ndarray:
+    """Big-endian pack of T[s+off : s+off+8] per phrase, zero-padded past
+    the phrase end (zero < any real byte, giving prefix-correct order)."""
+    D = starts.shape[0]
+    val = np.zeros(D, dtype=np.uint64)
+    limit = np.uint64(0)
+    tmax = T.shape[0] - 1
+    for b in range(8):
+        idx = np.minimum(starts + off + b, tmax)
+        ch = T[idx].astype(np.uint64)
+        valid = (off + b) < lens
+        val = (val << np.uint64(8)) | np.where(valid, ch, limit)
+    return val
+
+
+def _lex_order_of_substrings(T: np.ndarray, starts, lens) -> np.ndarray:
+    """argsort of the (unique) substrings of T by byte-lex order.
+
+    Iterative 8-byte-chunk radix refinement: O(D * maxlen/8) gathers and
+    O(maxlen/8) sorts of D keys — far cheaper than a suffix sort of the
+    concatenated dictionary, and allocation-light (the host's weak spot).
+    Terminates early once all ranks are distinct (phrases are unique, and
+    the PFP prefix-free property means no phrase is a prefix of another).
+    """
+    D = starts.shape[0]
+    if D <= 1:
+        return np.arange(D, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    maxlen = int(lens.max())
+    rank = np.zeros(D, dtype=np.int64)
+    for off in range(0, maxlen + 8, 8):
+        chunk = _pack8(T, starts, off, lens)
+        order = np.lexsort((chunk, rank))
+        r_o, c_o = rank[order], chunk[order]
+        newg = np.empty(D, dtype=np.int64)
+        newg[0] = 0
+        newg[1:] = (r_o[1:] != r_o[:-1]) | (c_o[1:] != c_o[:-1])
+        nr = np.cumsum(newg)
+        rank[order] = nr
+        if nr[-1] == D - 1:
+            break
+    assert rank.max() == D - 1, "duplicate phrases reached the word sort"
+    return np.argsort(rank, kind="stable")
+
+
 def finalize_parse(
     C: np.ndarray,
     starts: np.ndarray,
@@ -155,28 +264,22 @@ def finalize_parse(
     doc_starts: Optional[List[int]] = None,
     nseqs: int = 0,
 ) -> ParseResult:
-    """Dict sort + ranking + per-occurrence metadata (pfparser.hpp:484-517)."""
+    """Dict sort + ranking + per-occurrence metadata (pfparser.hpp:484-517).
+
+    Fully vectorized: phrase dedup by (len, 128-bit substring hash) and
+    byte-lex ranking via SA over a separator-joined concat — no per-phrase
+    Python loop (the reference's std::map insert per phrase,
+    pfparser.hpp:595-601, is the parse stage's real bottleneck at scale).
+    """
     w = params.w
     T = _tprime(C, w)
-    Tb = T.tobytes()
     nphrases = starts.shape[0]
     if nphrases == 1:
         die("error: only one dict word total. Re-run with a smaller p modulus")
-    phrase_list = [Tb[s : e + 1] for s, e in zip(starts.tolist(), ends.tolist())]
-    # dictionary: byte-lex sort of unique phrases (strcmp order,
-    # pfparser.hpp:500-501)
-    from collections import Counter
-
-    freq = Counter(phrase_list)
-    phrases = sorted(freq)
-    occs = np.fromiter((freq[ph] for ph in phrases), dtype=np.uint64, count=len(phrases))
-    rank_of = {ph: i + 1 for i, ph in enumerate(phrases)}
-    parse_ranks = np.fromiter(
-        (rank_of[ph] for ph in phrase_list), dtype=np.uint32, count=nphrases
-    )
+    phrases, occs, parse_ranks = _dedup_and_rank(T, starts, ends)
     last = T[ends - w]
     sai = ends.astype(np.uint64)
-    pos = C.shape[0] + w  # == final sai + ... == |T'| - 1
+    pos = C.shape[0] + w  # == |T'| - 1
     return ParseResult(
         params=params,
         phrases=phrases,
