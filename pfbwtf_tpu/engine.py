@@ -140,7 +140,17 @@ def parse_bwt(res_or_ranks, last=None, sai=None, get_sai=True,
 def assemble_bwt(dict_flat, w, occs, bwlast, ilist, bwsai, n,
                  want_sa=False, want_rssa=False, sa_dtype=np.uint64,
                  backend: Optional[str] = None) -> bwt_np.BWTResult:
-    backend = backend or default_backend()
+    # Assembly defaults to the host path (native SA-IS) even when an
+    # accelerator is present: its outputs are large (the .bwt/.sa arrays
+    # themselves), so on a remote-tunnel single chip the D2H cost and
+    # per-size recompiles dominate.  Opt in to the device path with
+    # PFBWT_ASSEMBLE_BACKEND=jax (or an explicit backend argument) — the
+    # right choice on locally-attached chips at scale.
+    if backend is None:
+        backend = os.environ.get("PFBWT_ASSEMBLE_BACKEND", "").lower() or None
+    if backend is None:
+        env = os.environ.get("PFBWT_BACKEND", "").lower()
+        backend = env if env in ("jax", "numpy") else "numpy"
     if backend == "jax":
         from .ops.bwt_jax import assemble_bwt_jax
 

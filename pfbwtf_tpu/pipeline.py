@@ -71,6 +71,11 @@ def run_parser(
         save_parser(res, output, dtype)
     with task_timer("ranking and bwt-ing parse and processing last-chars"):
         save_parse_bwt(res, output, dtype, sa=params.get_sai, backend=backend)
+    if params.trim_non_acgt:
+        # reference writes the (currently always-empty) non-ACGT run table
+        # when trimming is requested (pfbwt-f.cpp:238-240; the trim path is
+        # disabled upstream, pfparser.hpp:338-359)
+        open(output + ".ntab", "wb").close()
     return res.n
 
 
