@@ -60,18 +60,32 @@ def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = N
             die(f"invalid character {bad}/{chr(bad)} in input "
                 "(use --non-acgt-to-a)")
 
+        scan_impl = os.environ.get("PFBWT_SCAN_IMPL", "xla").lower()
+
+        def cut_mask(c, w, p):
+            if scan_impl == "pallas":
+                # bucketed input lengths are multiples of 2**16 == the
+                # kernel block, so no tail handling is needed
+                from .ops.pallas.hash_scan import _scan as pallas_scan, HALO
+
+                blk = 1 << 16
+                padded2 = jnp.pad(c, (HALO, 0))[None, :]
+                m = pallas_scan(padded2, w, p, blk, False)[0].astype(bool)
+                idx = jnp.arange(c.shape[0], dtype=jnp.int64)
+                return m & (idx >= w)
+            _, cut = hash_scan_jax(c, w, p)
+            return cut
+
         # Two-phase cut extraction keeps device->host traffic minimal (the
         # remote tunnel's D2H path is slow): first a scalar count, then the
         # compacted positions at a bucketed static size.
         @partial(jax.jit, static_argnames=("w", "p"))
         def count_cuts(c, w, p):
-            _, cut = hash_scan_jax(c, w, p)
-            return jnp.sum(cut.astype(jnp.int64))
+            return jnp.sum(cut_mask(c, w, p).astype(jnp.int64))
 
         @partial(jax.jit, static_argnames=("w", "p", "size"))
         def cut_positions(c, w, p, size):
-            _, cut = hash_scan_jax(c, w, p)
-            return jnp.nonzero(cut, size=size, fill_value=-1)[0]
+            return jnp.nonzero(cut_mask(c, w, p), size=size, fill_value=-1)[0]
 
         # Bucket the input length to a power-of-two-ish grid so compiled
         # programs are reused across inputs; pad codes are 0 ('A'), whose
