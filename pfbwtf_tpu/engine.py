@@ -61,6 +61,8 @@ def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = N
                 "(use --non-acgt-to-a)")
 
         scan_impl = os.environ.get("PFBWT_SCAN_IMPL", "xla").lower()
+        if scan_impl == "pallas" and jax.default_backend() != "tpu":
+            scan_impl = "xla"  # the compiled kernel is TPU-only
 
         def cut_mask(c, w, p):
             if scan_impl == "pallas":

@@ -93,6 +93,62 @@ def sharded_cut_mask(codes: np.ndarray, w: int, p: int, mesh: Mesh,
     return cut, int(np.asarray(totals)[0])
 
 
+def _shard_phrase_sketch(codes_blk, w: int, p: int, shard_len: int,
+                         axis: str, sketch_bits: int):
+    """Per-device phrase-occurrence sketch, psum-reduced across the mesh.
+
+    Each device hashes the phrase *end-window* k-mer of every local cut into
+    a 2**sketch_bits-bucket count array (scatter-add) and the mesh psums the
+    sketches — the collective skeleton of the distributed dictionary union
+    (SURVEY.md §2.4 row 2: all-gather/psum phrase sets): identical phrases
+    hash to identical buckets no matter which shard saw them, so the global
+    sketch equals the single-stream sketch exactly.
+    """
+    cut, _ = _shard_parse_block(codes_blk, w, p, shard_len, axis)
+    codes = codes_blk[0]
+    n_sh = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    halo = w - 1
+    tail = codes[-halo:] if halo > 0 else codes[:0]
+    prev_tail = jax.lax.ppermute(
+        tail, axis, [(i, (i + 1) % n_sh) for i in range(n_sh)]
+    )
+    ext = jnp.concatenate((prev_tail, codes))
+    km = jnp.zeros(shard_len, dtype=jnp.uint64)
+    c = ext.astype(jnp.uint64)
+    for t in range(w):
+        km = km | (jax.lax.dynamic_slice(c, (halo - t,), (shard_len,)) << (2 * t))
+    h = wang_hash_jax(km)
+    nbuckets = 1 << sketch_bits
+    bucket = (h >> jnp.uint64(40)).astype(jnp.int64) % nbuckets
+    local = jnp.zeros(nbuckets, jnp.int64).at[bucket].add(
+        cut[0].astype(jnp.int64)
+    )
+    return jax.lax.psum(local, axis)[None, :]
+
+
+def sharded_phrase_sketch(codes: np.ndarray, w: int, p: int, mesh: Mesh,
+                          sketch_bits: int = 16, axis: str = "dp"):
+    """Global phrase-window sketch over the mesh (see _shard_phrase_sketch)."""
+    n_dev = mesh.devices.size
+    n = codes.shape[0]
+    shard_len = -(-n // n_dev)
+    padded = np.zeros(n_dev * shard_len, dtype=np.uint8)
+    padded[:n] = codes
+    blocks = padded.reshape(n_dev, shard_len)
+    fn = jax.jit(
+        jax.shard_map(
+            partial(_shard_phrase_sketch, w=w, p=p, shard_len=shard_len,
+                    axis=axis, sketch_bits=sketch_bits),
+            mesh=mesh,
+            in_specs=P(axis, None),
+            out_specs=P(axis, None),
+        )
+    )
+    out = np.asarray(fn(blocks))
+    return out[0]
+
+
 def sharded_parse_step(w: int, p: int, mesh: Mesh, shard_len: int,
                        axis: str = "dp"):
     """The jittable multi-chip step (what dryrun_multichip exercises):

@@ -32,3 +32,29 @@ def test_graft_entry_single_and_multichip():
     out = jax.jit(fn)(*args)
     assert int(out[1]) > 0
     ge.dryrun_multichip(8)
+
+
+def test_sharded_phrase_sketch_matches_stream(rng):
+    """The psum'd phrase sketch (distributed dict-union skeleton) equals the
+    single-stream computation."""
+    from pfbwtf_tpu.ops.hash import wang_hash_np, window_kmers_np
+    from pfbwtf_tpu.parallel.sharded import sharded_phrase_sketch
+
+    n = 64_000
+    chars = rng.choice(list(b"ACGT"), size=n).astype(np.uint8)
+    codes = NTOA_TABLE[chars]
+    mesh = make_parse_mesh()
+    w, p, bits = 10, 17, 12
+    sketch = sharded_phrase_sketch(codes, w, p, mesh, sketch_bits=bits)
+    # single-stream oracle over the identically padded stream
+    n_dev = mesh.devices.size
+    shard_len = -(-n // n_dev)
+    padded = np.zeros(n_dev * shard_len, dtype=np.uint8)
+    padded[:n] = codes
+    km = window_kmers_np(padded, w)
+    h = wang_hash_np(km)
+    cut = (h % np.uint64(p)) == 0
+    cut[:w] = False
+    bucket = (h >> np.uint64(40)).astype(np.int64) % (1 << bits)
+    expect = np.bincount(bucket[cut], minlength=1 << bits)
+    assert np.array_equal(sketch, expect)
