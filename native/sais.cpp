@@ -17,6 +17,7 @@
 // symbol remapping on the Python side — the same mapping the device
 // doubling kernel uses — so all three implementations share one order.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -141,7 +142,73 @@ void sais_rec(const i64* s, i64* sa, i64 n, i64 K) {
 
 }  // namespace
 
+namespace {
+
+// Kasai et al. linear-time LCP from a suffix array.  With the
+// distinct-separator symbol mapping, separators never match, so the LCP
+// counts only real shared characters — exactly the generalized-suffix
+// grouping semantics the BWT assembly needs.
+void kasai(const i64* s, const i64* sa, i64* lcp, i64 n) {
+    std::vector<i64> rank(n);
+    for (i64 i = 0; i < n; ++i) rank[sa[i]] = i;
+    i64 h = 0;
+    lcp[0] = 0;
+    for (i64 i = 0; i < n; ++i) {
+        if (rank[i] > 0) {
+            i64 j = sa[rank[i] - 1];
+            while (i + h < n && j + h < n && s[i + h] == s[j + h]) ++h;
+            lcp[rank[i]] = h;
+            if (h > 0) --h;
+        } else {
+            h = 0;
+        }
+    }
+}
+
+}  // namespace
+
 extern "C" {
+
+// SA + LCP in one call (the gsacak(SA, LCP) role).
+int sais_int_lcp(const int64_t* s, int64_t* sa, int64_t* lcp, int64_t n,
+                 int64_t K) {
+    if (n <= 0 || s[n - 1] != 0) return -1;
+    sais_rec(s, sa, n, K);
+    kasai(s, sa, lcp, n);
+    return 0;
+}
+
+// Byte-lex ranking of substrings T[starts[i] : starts[i]+lens[i]).
+// Writes 1-based dense ranks (equal substrings share a rank) into rank_out,
+// and the number of distinct substrings into *ndistinct.
+int rank_substrings(const uint8_t* T, int64_t /*tlen*/, const int64_t* starts,
+                    const int64_t* lens, int64_t m, int64_t* rank_out,
+                    int64_t* ndistinct) {
+    std::vector<i64> idx(m);
+    for (i64 i = 0; i < m; ++i) idx[i] = i;
+    auto cmp = [&](i64 a, i64 b) {
+        i64 la = lens[a], lb = lens[b];
+        int c = std::memcmp(T + starts[a], T + starts[b],
+                            (size_t)(la < lb ? la : lb));
+        if (c != 0) return c < 0;
+        return la < lb;
+    };
+    std::sort(idx.begin(), idx.end(), cmp);
+    i64 r = 0;
+    for (i64 k = 0; k < m; ++k) {
+        if (k == 0) {
+            r = 1;
+        } else {
+            i64 a = idx[k - 1], b = idx[k];
+            if (lens[a] != lens[b] ||
+                std::memcmp(T + starts[a], T + starts[b], (size_t)lens[a]))
+                ++r;
+        }
+        rank_out[idx[k]] = r;
+    }
+    *ndistinct = r;
+    return 0;
+}
 
 int sais_int(const int64_t* s, int64_t* sa, int64_t n, int64_t K) {
     if (n <= 0 || s[n - 1] != 0) return -1;

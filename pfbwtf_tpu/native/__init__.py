@@ -54,6 +54,24 @@ def load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
         ]
+        lib.sais_int_lcp.restype = ctypes.c_int
+        lib.sais_int_lcp.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.rank_substrings.restype = ctypes.c_int
+        lib.rank_substrings.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     return _lib
 
@@ -108,3 +126,53 @@ def dict_suffix_sort_native(dict_flat: np.ndarray):
     sym, word_id, suf_len, dwords = dict_initial_symbols_np(dict_flat)
     sa = suffix_array_ints_native(sym.astype(np.int64))
     return sa, word_id, suf_len, dwords
+
+
+def dict_suffix_sort_lcp_native(dict_flat: np.ndarray):
+    """Generalized dict SA + LCP (the gsacak(SA, LCP) role).  With distinct
+    separator symbols the LCP counts only real matched chars, so suffix
+    equality groups are exactly (len equal) & (lcp >= len)."""
+    from ..ops.suffix import dict_initial_symbols_np
+
+    lib = load()
+    sym, word_id, suf_len, dwords = dict_initial_symbols_np(dict_flat)
+    s = np.ascontiguousarray(sym.astype(np.int64))
+    n = s.shape[0]
+    sa = np.empty(n, dtype=np.int64)
+    lcp = np.empty(n, dtype=np.int64)
+    K = int(s.max()) + 1 if n else 1
+    rc = lib.sais_int_lcp(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lcp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        K,
+    )
+    if rc != 0:
+        raise PfbwtError(f"sais_int_lcp failed with code {rc}")
+    return sa, lcp, word_id, suf_len, dwords
+
+
+def rank_substrings_native(T: np.ndarray, starts: np.ndarray,
+                           lens: np.ndarray):
+    """1-based byte-lex dense ranks of substrings (equal substrings share a
+    rank); returns (ranks, ndistinct)."""
+    lib = load()
+    T = np.ascontiguousarray(np.asarray(T, dtype=np.uint8))
+    starts = np.ascontiguousarray(np.asarray(starts, dtype=np.int64))
+    lens = np.ascontiguousarray(np.asarray(lens, dtype=np.int64))
+    m = starts.shape[0]
+    ranks = np.empty(m, dtype=np.int64)
+    nd = ctypes.c_int64(0)
+    rc = lib.rank_substrings(
+        T.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        T.shape[0],
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        m,
+        ranks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(nd),
+    )
+    if rc != 0:
+        raise PfbwtError(f"rank_substrings failed with code {rc}")
+    return ranks, int(nd.value)

@@ -63,23 +63,70 @@ def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=Non
     """Sorted dict suffixes + their emission layout.
 
     Returns (sa_kept, gid, word_of_suffix, suf_len_kept, E_suffix, E_j).
+
+    Index arrays use int32 when sizes allow: this numpy build's 64-bit
+    fancy-indexing/gather paths are an order of magnitude slower than the
+    32-bit ones, and n < 2**31 covers the reference's own 32-bit domain.
     """
     dict_flat = np.asarray(dict_flat, dtype=np.uint8)
+    ilist = np.asarray(ilist)
+    small = dict_flat.shape[0] < 2**31 - 8 and ilist.shape[0] < 2**31 - 8
+    idt = np.int32 if small else np.int64
+    gid = None
+    if sa_all is None:
+        try:
+            from ..native import available, dict_suffix_sort_lcp_native
+
+            if available():
+                sa_all, lcp, word_id, suf_len, _ = (
+                    dict_suffix_sort_lcp_native(dict_flat)
+                )
+                sa_all = sa_all.astype(idt)
+                lcp = lcp.astype(idt)
+                word_id = word_id.astype(idt)
+                suf_len = suf_len.astype(idt)
+                keep = suf_len[sa_all] > w
+                kidx = np.flatnonzero(keep).astype(idt)
+                sa_kept = sa_all[kidx]
+                # equal suffixes are contiguous in the full gSA, so adjacent
+                # kept entries are equal iff they are full-SA neighbors with
+                # equal length and LCP covering that length
+                ls = suf_len[sa_kept]
+                eq = (
+                    (kidx[1:] == kidx[:-1] + 1)
+                    & (ls[1:] == ls[:-1])
+                    & (lcp[kidx[1:]] >= ls[:-1])
+                )
+                gid = np.concatenate(
+                    (np.zeros(1, idt), np.cumsum(~eq, dtype=idt))
+                )
+        except Exception:
+            sa_all = None
     if sa_all is None:
         sa_all, word_id, suf_len, _ = _dict_suffix_sort_host(dict_flat)
-    keep = suf_len[sa_all] > w
-    sa_kept = sa_all[keep]
-    gid = suffix_group_ids_np(dict_flat, sa_kept, suf_len, verify=verify_groups)
+        sa_all = sa_all.astype(idt)
+        word_id = np.asarray(word_id).astype(idt)
+        suf_len = np.asarray(suf_len).astype(idt)
+    if gid is None:
+        keep = suf_len[sa_all] > w
+        sa_kept = sa_all[keep]
+        gid = suffix_group_ids_np(
+            dict_flat, sa_kept, suf_len, verify=verify_groups
+        ).astype(idt)
     u = word_id[sa_kept]
     # ilist segment starts per word: F[u+1] = 1 + cumsum(occ)[:u]
-    occs = np.asarray(occs, dtype=np.int64)
-    seg_start = np.concatenate(([1], 1 + np.cumsum(occs)[:-1]))
+    occs = np.asarray(occs).astype(idt)
+    seg_start = np.concatenate(
+        (np.ones(1, idt), (1 + np.cumsum(occs, dtype=np.int64)[:-1]).astype(idt))
+    )
     counts = occs[u]
-    E_suffix = np.repeat(np.arange(sa_kept.shape[0]), counts)
+    E_suffix = np.repeat(np.arange(sa_kept.shape[0], dtype=idt), counts)
     # within-suffix occurrence index 0..count-1
-    first = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    within = np.arange(E_suffix.shape[0]) - np.repeat(first, counts)
-    E_j = ilist[np.repeat(seg_start[u], counts) + within]
+    first = np.concatenate(
+        (np.zeros(1, idt), np.cumsum(counts, dtype=np.int64)[:-1].astype(idt))
+    )
+    within = np.arange(E_suffix.shape[0], dtype=idt) - np.repeat(first, counts)
+    E_j = ilist.astype(idt)[np.repeat(seg_start[u], counts) + within]
     return sa_kept, gid, u, suf_len[sa_kept], E_suffix, E_j
 
 
@@ -100,12 +147,12 @@ def assemble_bwt(
     )
     total = E_j.shape[0]
     assert total == n + 1, f"emission count {total} != n+1 ({n + 1})"
+    idt = E_j.dtype
     # final order: (suffix group, parse-BWT position)
-    order = np.lexsort((E_j, gid[E_suffix]))
+    order = np.lexsort((E_j, gid[E_suffix])).astype(idt)
     s_ord = E_suffix[order]
     j_ord = E_j[order]
     pos_ord = sa_kept[s_ord]  # dict positions of each emission's suffix
-    off0 = np.zeros(len(dict_flat) + 1, dtype=bool)
     # offset-0 detection: suffix starts right after a separator or at 0
     dict_flat = np.asarray(dict_flat, dtype=np.uint8)
     is_word_start = np.concatenate(
@@ -123,8 +170,17 @@ def assemble_bwt(
     sa_vals = None
     ssa = esa = None
     if want_sa or want_rssa:
-        bwsai = np.asarray(bwsai, dtype=np.uint64)
-        sa_vals = bwsai[j_ord] - suf_len_kept[s_ord].astype(np.uint64)
+        bwsai = np.asarray(bwsai)
+        if idt == np.int32 and n < 2**32 - 2:
+            # 32-bit gather path (values fit: sa <= n); widen at the end
+            sa32 = bwsai.astype(np.uint32)[j_ord] - suf_len_kept[s_ord].astype(
+                np.uint32
+            )
+            sa_vals = sa32.astype(np.uint64)
+        else:
+            sa_vals = bwsai.astype(np.uint64)[j_ord] - suf_len_kept[
+                s_ord
+            ].astype(np.uint64)
         sa_vals[0] = np.uint64(n)
         if want_rssa:
             run_start = np.concatenate(

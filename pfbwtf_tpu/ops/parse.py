@@ -170,13 +170,27 @@ def _substring_hashes(T: np.ndarray, starts, lens, base):
 def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     """Vectorized phrase dedup + byte-lex ranking.
 
-    Dedup groups phrases by (len, 128-bit substring hash); ranking sorts the
-    unique representatives byte-lexicographically via the native SA-IS
-    kernel over a separator-joined concat (no per-phrase Python work), with
-    a plain bytes sort fallback.  Returns (sorted phrase list, occs,
-    1-based rank per occurrence).
+    Fast path: the native memcmp-rank kernel (one C++ sort over the
+    occurrence (start, len) pairs — exact, allocation-light).  Fallback:
+    (len, 128-bit substring hash) dedup + chunked radix word sort in numpy.
+    Returns (sorted phrase list, occs, 1-based rank per occurrence).
     """
     lens = (ends - starts + 1).astype(np.int64)
+    try:
+        from ..native import available, rank_substrings_native
+
+        if available():
+            starts64 = np.asarray(starts, dtype=np.int64)
+            ranks, D = rank_substrings_native(T, starts64, lens)
+            occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
+            uniq, first = np.unique(ranks, return_index=True)
+            Tb = T.tobytes()
+            phrases = [
+                Tb[starts64[i] : starts64[i] + lens[i]] for i in first
+            ]
+            return phrases, occs, ranks.astype(np.uint32)
+    except Exception:
+        pass
     h1 = _substring_hashes(T, starts, lens, _HB1)
     h2 = _substring_hashes(T, starts, lens, _HB2)
     order = np.lexsort((h2, h1, lens))

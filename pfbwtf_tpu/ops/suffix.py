@@ -140,12 +140,22 @@ def suffix_group_ids_np(dict_flat, sa_kept, suf_len, verify: bool = True):
     )
     gid = np.concatenate(([0], np.cumsum(~e))).astype(np.int64)
     if verify and e.any():
+        # vectorized byte verification of every claimed-equal adjacent pair:
+        # one masked compare per offset d (bounded by the longest pair)
         flat = np.asarray(dict_flat)
-        for i in np.flatnonzero(e):
-            a, b_ = sa_kept[i], sa_kept[i + 1]
-            L = int(ls[i])
-            if not np.array_equal(flat[a : a + L], flat[b_ : b_ + L]):
-                raise AssertionError("suffix hash collision — please report")
+        pairs = np.flatnonzero(e)
+        a = sa_kept[pairs]
+        b = sa_kept[pairs + 1]
+        L = ls[pairs].astype(np.int64)
+        ok = np.ones(pairs.shape[0], dtype=bool)
+        top = flat.shape[0] - 1
+        for d in range(int(L.max())):
+            m = d < L  # masked lanes may index past their suffix: clip
+            ai = np.minimum(a + d, top)
+            bi = np.minimum(b + d, top)
+            ok &= ~m | (flat[ai] == flat[bi])
+        if not ok.all():
+            raise AssertionError("suffix hash collision — please report")
     return gid
 
 
