@@ -60,3 +60,42 @@ def _run_fuzz_case(seed, ncontigs, length, nsamples, density, indel_frac):
 def test_pipeline_matches_oracle(seed, ncontigs, length, nsamples, density,
                                  indel_frac):
     _run_fuzz_case(seed, ncontigs, length, nsamples, density, indel_frac)
+
+
+def test_multi_vcf_merge():
+    """Two VCF files over the same contigs merge into one record stream
+    (the synced-reader role, vcf_scanner.hpp:86-95)."""
+    rng = np.random.default_rng(55)
+    base = tmp_prefix("mvcf")
+    fa = random_fasta(base + ".fa", rng, nrecords=1, length=2000)
+    from pfbwtf_tpu.io.fasta import read_fasta_bytes
+    from pfbwtf_tpu.vcf.reader import merge_vcfs
+
+    contigs = [(n, s) for n, s in read_fasta_bytes(fa)]
+    # split one generated VCF's records into two files by parity
+    vcf_all = base + ".all.vcf"
+    samples = random_vcf(vcf_all, contigs, rng, nsamples=1, density=0.01,
+                         indel_frac=0.0)
+    lines = open(vcf_all).read().splitlines()
+    header = [l for l in lines if l.startswith("#")]
+    recs = [l for l in lines if not l.startswith("#")]
+    for i, part in enumerate((recs[0::2], recs[1::2])):
+        with open(f"{base}.part{i}.vcf", "w") as f:
+            f.write("\n".join(header + list(part)) + "\n")
+    merged = merge_vcfs([f"{base}.part0.vcf", f"{base}.part1.vcf"])
+    single = merge_vcfs([vcf_all])
+    for contig, _ in contigs:
+        a = [(r.pos, r.alleles[0], r.alleles[1]) for r in
+             merged.records_for_contig(contig)]
+        b = [(r.pos, r.alleles[0], r.alleles[1]) for r in
+             single.records_for_contig(contig)]
+        assert a == b
+    # pipelines over the split and single VCFs agree
+    out_a, out_b = base + ".a", base + ".b"
+    for out, vcfs in ((out_a, [f"{base}.part0.vcf", f"{base}.part1.vcf"]),
+                      (out_b, [vcf_all])):
+        cfg = VcfToBwtConfig(fasta=fa, vcfs=vcfs, output=out, sa=True,
+                             ma=True, mod=10)
+        vcf_to_bwt(cfg)
+    assert open(out_a + ".bwt", "rb").read() == open(out_b + ".bwt", "rb").read()
+    assert open(out_a + ".ma", "rb").read() == open(out_b + ".ma", "rb").read()
