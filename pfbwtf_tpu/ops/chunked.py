@@ -1,0 +1,128 @@
+"""Chunked (bounded-memory) parse scan.
+
+The reference's answer to workspace > RAM is mmap-backed containers
+(file_wrappers.hpp:36-124, -m flag).  The TPU-native analogue bounds HBM:
+the char stream is pushed through the device hash scan in fixed-size chunks
+with a (w-1)-code halo carried between chunks — the same junction identity
+the sharded path uses, so chunking is exact for any chunk size.
+
+Each chunk is one compiled program (one shape -> one compile, reused), and
+chunks can be double-buffered against H2D transfers.  The collected cut
+positions feed the ordinary finalize.
+"""
+
+from functools import partial
+from typing import Iterable, List
+
+import numpy as np
+
+from ..constants import MAX_W
+from ..utils.errors import die
+from ..utils.tables import NTOA_TABLE
+
+
+def chunked_cut_positions(
+    codes_iter: Iterable[np.ndarray], w: int, p: int, chunk: int = 1 << 24
+) -> np.ndarray:
+    """Global cut positions over a stream of code arrays (values 0..3).
+
+    ``codes_iter`` yields arbitrary-size pieces; they are re-blocked into
+    fixed ``chunk``-size device calls.  Returns absolute cut positions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .hash import hash_scan_jax
+
+    halo = max(w - 1, 0)
+
+    @partial(jax.jit, static_argnames=("w", "p", "size"))
+    def scan_chunk(ext_codes, offset, w, p, size):
+        # ext_codes: (halo + chunk,) — positions halo..halo+chunk-1 are live
+        km = jnp.zeros(chunk, dtype=jnp.uint64)
+        c = ext_codes.astype(jnp.uint64)
+        for t in range(w):
+            km = km | (
+                jax.lax.dynamic_slice(c, (halo - t,), (chunk,)) << (2 * t)
+            )
+        from .hash import wang_hash_jax
+
+        h = wang_hash_jax(km)
+        gpos = offset + jnp.arange(chunk, dtype=jnp.int64)
+        cut = ((h % jnp.uint64(p)) == 0) & (gpos >= w)
+        count = jnp.sum(cut.astype(jnp.int64))
+        pos = jnp.nonzero(cut, size=size, fill_value=-1)[0]
+        return count, pos
+
+    buf = np.zeros(halo + chunk, dtype=np.uint8)
+    fill = 0  # valid codes currently in buf[halo:]
+    offset = 0  # absolute position of buf[halo]
+    cuts: List[np.ndarray] = []
+    # conservative per-chunk cut capacity; p>=2 so cuts <= chunk/1, use
+    # chunk//max(p,1)*8+1024 bucketed to limit recompiles
+    size = min(chunk, (chunk // max(p, 1)) * 8 + 1024)
+
+    def flush(n_valid):
+        nonlocal offset
+        if n_valid == 0:
+            return
+        count, pos = scan_chunk(buf, offset, w, p, size)
+        count = int(np.asarray(count))
+        if count > size:
+            # rare dense-cut chunk: redo with full capacity
+            count2, pos = scan_chunk(buf, offset, w, p, chunk)
+            count = int(np.asarray(count2))
+        pos_np = np.asarray(pos)[:count]
+        pos_np = pos_np[pos_np < n_valid]
+        cuts.append(pos_np + offset)
+        # carry halo: last halo codes of the valid region
+        if halo:
+            lo = halo + n_valid - halo
+            buf[:halo] = buf[lo : halo + n_valid]
+        offset += n_valid
+
+    for piece in codes_iter:
+        piece = np.asarray(piece, dtype=np.uint8)
+        i = 0
+        while i < piece.shape[0]:
+            take = min(chunk - fill, piece.shape[0] - i)
+            buf[halo + fill : halo + fill + take] = piece[i : i + take]
+            fill += take
+            i += take
+            if fill == chunk:
+                flush(chunk)
+                fill = 0
+    if fill:
+        buf[halo + fill :] = 0
+        flush(fill)
+    if not cuts:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(cuts)
+
+
+def parse_fasta_chunked(fname: str, params, chunk: int = 1 << 24):
+    """Bounded-HBM parse: per-record code stream -> chunked device scan ->
+    ordinary finalize.  Identical output to engine.parse_fasta."""
+    from ..io.fasta import read_fasta_bytes
+    from .parse import build_stream, finalize_parse, phrase_bounds_from_cuts
+
+    records = read_fasta_bytes(fname)
+    C, doc_names, doc_starts = build_stream(records, params)
+    codes = NTOA_TABLE[C]
+    if codes.max(initial=0) > 3:
+        die("invalid character in input (use --non-acgt-to-a)")
+
+    def pieces():
+        yield codes
+
+    cuts = chunked_cut_positions(pieces(), params.w, params.p, chunk)
+    starts, ends = phrase_bounds_from_cuts(C.shape[0], cuts, params.w)
+    return finalize_parse(
+        C,
+        starts,
+        ends,
+        params,
+        doc_names=doc_names if params.store_docs else [],
+        doc_starts=doc_starts if params.store_docs else [],
+        nseqs=len(records),
+    )
