@@ -62,6 +62,21 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.sais_int32.restype = ctypes.c_int
+        lib.sais_int32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.sais_int_lcp32.restype = ctypes.c_int
+        lib.sais_int_lcp32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
         lib.rank_substrings.restype = ctypes.c_int
         lib.rank_substrings.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -131,23 +146,36 @@ def dict_suffix_sort_native(dict_flat: np.ndarray):
 def dict_suffix_sort_lcp_native(dict_flat: np.ndarray):
     """Generalized dict SA + LCP (the gsacak(SA, LCP) role).  With distinct
     separator symbols the LCP counts only real matched chars, so suffix
-    equality groups are exactly (len equal) & (lcp >= len)."""
+    equality groups are exactly (len equal) & (lcp >= len).  Uses the
+    32-bit kernel instantiation whenever sizes fit."""
     from ..ops.suffix import dict_initial_symbols_np
 
     lib = load()
     sym, word_id, suf_len, dwords = dict_initial_symbols_np(dict_flat)
-    s = np.ascontiguousarray(sym.astype(np.int64))
-    n = s.shape[0]
-    sa = np.empty(n, dtype=np.int64)
-    lcp = np.empty(n, dtype=np.int64)
-    K = int(s.max()) + 1 if n else 1
-    rc = lib.sais_int_lcp(
-        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        lcp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n,
-        K,
-    )
+    n = sym.shape[0]
+    K = int(sym.max()) + 1 if n else 1
+    if n < 2**31 - 2 and K < 2**31 - 2:
+        s = np.ascontiguousarray(sym.astype(np.int32))
+        sa = np.empty(n, dtype=np.int32)
+        lcp = np.empty(n, dtype=np.int32)
+        rc = lib.sais_int_lcp32(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lcp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            K,
+        )
+    else:
+        s = np.ascontiguousarray(sym.astype(np.int64))
+        sa = np.empty(n, dtype=np.int64)
+        lcp = np.empty(n, dtype=np.int64)
+        rc = lib.sais_int_lcp(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lcp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            K,
+        )
     if rc != 0:
         raise PfbwtError(f"sais_int_lcp failed with code {rc}")
     return sa, lcp, word_id, suf_len, dwords

@@ -71,15 +71,19 @@ def dict_initial_symbols_np(dict_flat: np.ndarray):
     """
     dict_flat = np.asarray(dict_flat, dtype=np.uint8)
     D = dict_flat.shape[0]
+    idt = np.int32 if D < 2**31 - 2 else np.int64
     is_eow = dict_flat == EndOfWord
     dwords = int(is_eow.sum())
-    word_id = np.concatenate(([0], np.cumsum(is_eow)[:-1])).astype(np.int64)
-    sym = dict_flat.astype(np.int64) + (dwords + 1)
-    sym[is_eow] = 1 + word_id[is_eow]
+    word_id = np.concatenate(
+        (np.zeros(1, idt), np.cumsum(is_eow, dtype=idt)[:-1])
+    )
+    sym = dict_flat.astype(idt) + idt(dwords + 1)
+    sym[is_eow] = idt(1) + word_id[is_eow]
     sym[dict_flat == EndOfDict] = 0
-    sep_pos = np.flatnonzero(is_eow | (dict_flat == EndOfDict))
-    next_sep = sep_pos[np.searchsorted(sep_pos, np.arange(D))]
-    suf_len = next_sep - np.arange(D)
+    sep_pos = np.flatnonzero(is_eow | (dict_flat == EndOfDict)).astype(idt)
+    pos = np.arange(D, dtype=idt)
+    next_sep = sep_pos[np.searchsorted(sep_pos, pos)]
+    suf_len = next_sep - pos
     return sym, word_id, suf_len, dwords
 
 
