@@ -6,15 +6,17 @@ derivation), with every large-array stage on device:
 * generalized dict suffix order   -> prefix doubling (lax.sort rounds)
 * suffix length per position      -> reverse cummin of separator indices
 * kept-suffix compaction          -> jnp.nonzero with static size
-* emission fan-out                -> jnp.repeat(total_repeat_length=n+1)
+* emission fan-out                -> jnp.repeat(total_repeat_length=...)
 * final (group, parse-pos) order  -> one uint64 key argsort
 * BWT char / SA sample            -> gathers
 
-Suffix-equality groups use two independent 64-bit polynomial hashes
-computed on host (exact mod-2**64 wraparound, two passes over the dict).
-The numpy path (ops/bwt.py) byte-verifies group equality; the device path
-relies on the 128-bit hash (collision odds ~2**-128 per adjacent pair) and
-is cross-checked against the verified path in the test suite.
+All input shapes are padded to a coarse bucket grid and true sizes flow in
+as device scalars, so compiled programs are reused across inputs (compiles
+are expensive on remote-attached devices).  Suffix-equality groups use two
+independent 64-bit polynomial hashes computed on host (exact mod-2**64
+wraparound, two passes over the dict); the numpy path (ops/bwt.py)
+byte-verifies group equality and the device path is cross-checked against
+it in the test suite.
 """
 
 from functools import partial
@@ -33,18 +35,26 @@ from .suffix import (
 from ..constants import EndOfDict, EndOfWord
 
 
-@partial(jax.jit, static_argnames=("w", "nsuf", "total"))
+def _bucket(n: int, floor: int = 1 << 12) -> int:
+    if n <= floor:
+        return floor
+    step = max(floor, 1 << (max(int(np.floor(np.log2(n))) - 3, 0)))
+    return -(-n // step) * step
+
+
+@partial(jax.jit, static_argnames=("w", "nsuf_b", "total_b"))
 def _assemble_device(
-    dict_flat, occs, bwlast, ilist, bwsai, h1, h2, w: int, nsuf: int, total: int
+    dict_flat, occs, bwlast, ilist, bwsai, h1, h2, nsuf_true, total_true,
+    w: int, nsuf_b: int, total_b: int
 ):
     D = dict_flat.shape[0]
+    dwords = occs.shape[0]
     iota = jnp.arange(D, dtype=jnp.int64)
     is_eow = dict_flat == EndOfWord
     is_sep = is_eow | (dict_flat == EndOfDict)
     word_id = jnp.concatenate(
         (jnp.zeros(1, jnp.int64), jnp.cumsum(is_eow.astype(jnp.int64))[:-1])
     )
-    dwords = occs.shape[0]
     # initial doubling symbols: EndOfDict->0, i-th EOW->1+i, char c->dwords+1+c
     sym = dict_flat.astype(jnp.int64) + (dwords + 1)
     sym = jnp.where(is_eow, 1 + word_id, sym)
@@ -55,35 +65,43 @@ def _assemble_device(
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - iota
     # keep suffixes longer than w, in lexicographic order
-    kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf)[0]
+    kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
     sa_kept = sa_all[kept_idx]
+    suf_valid = jnp.arange(nsuf_b, dtype=jnp.int64) < nsuf_true
     ls = suf_len[sa_kept]
     # equality groups via (len, h1, h2)
     eq = (
         (ls[1:] == ls[:-1])
         & (h1[sa_kept][1:] == h1[sa_kept][:-1])
         & (h2[sa_kept][1:] == h2[sa_kept][:-1])
+        & suf_valid[1:]
     )
     gid = jnp.concatenate(
         (jnp.zeros(1, jnp.int64), jnp.cumsum((~eq).astype(jnp.int64)))
     )
-    u = word_id[sa_kept]
+    u = jnp.clip(word_id[sa_kept], 0, jnp.maximum(dwords - 1, 0))
     seg_start = jnp.concatenate(
         (jnp.ones(1, jnp.int64), 1 + jnp.cumsum(occs)[:-1])
     )
-    counts = occs[u]
+    counts = jnp.where(suf_valid, occs[u], 0)
     E_suffix = jnp.repeat(
-        jnp.arange(nsuf, dtype=jnp.int64), counts, total_repeat_length=total
+        jnp.arange(nsuf_b, dtype=jnp.int64), counts,
+        total_repeat_length=total_b,
     )
     first = jnp.concatenate((jnp.zeros(1, jnp.int64), jnp.cumsum(counts)[:-1]))
-    within = jnp.arange(total, dtype=jnp.int64) - jnp.repeat(
-        first, counts, total_repeat_length=total
+    within = jnp.arange(total_b, dtype=jnp.int64) - jnp.repeat(
+        first, counts, total_repeat_length=total_b
     )
-    E_j = ilist[
-        jnp.repeat(seg_start[u], counts, total_repeat_length=total) + within
-    ]
-    # final order: one u64 key (gid, j); gid*(n+2)+j < 2**63 for our sizes
-    key = gid[E_suffix] * jnp.int64(total + 1) + E_j
+    e_valid = jnp.arange(total_b, dtype=jnp.int64) < total_true
+    slot = jnp.clip(
+        jnp.repeat(seg_start[u], counts, total_repeat_length=total_b) + within,
+        0,
+        ilist.shape[0] - 1,
+    )
+    E_j = ilist[slot]
+    # final order: one int64 key (gid, j); invalid emissions sort last
+    key = gid[E_suffix] * jnp.int64(total_b + 1) + E_j
+    key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
     order = jnp.argsort(key)
     s_ord = E_suffix[order]
     j_ord = E_j[order]
@@ -102,11 +120,7 @@ def _assemble_device(
         ),
     ).astype(jnp.uint8)
     sa_vals = bwsai[j_ord] - ls[s_ord].astype(jnp.uint64)
-    run_start = jnp.concatenate(
-        (jnp.ones(1, dtype=bool), bwtc[1:] != bwtc[:-1])
-    )
-    nruns = jnp.sum(run_start.astype(jnp.int64))
-    return bwtc, sa_vals, run_start, nruns
+    return bwtc, sa_vals
 
 
 def assemble_bwt_jax(
@@ -136,27 +150,46 @@ def assemble_bwt_jax(
     h2 = _segmented_suffix_hashes_np(dict_flat, suf_len_np, _HB2)
     if bwsai is None:
         bwsai = np.zeros(ilist.shape[0], dtype=np.uint64)
-    bwtc, sa_vals, run_start, nruns = _assemble_device(
-        jnp.asarray(dict_flat),
-        jnp.asarray(occs),
-        jnp.asarray(np.asarray(bwlast, dtype=np.uint8)),
-        jnp.asarray(np.asarray(ilist, dtype=np.int64)),
-        jnp.asarray(np.asarray(bwsai, dtype=np.uint64)),
-        jnp.asarray(h1),
-        jnp.asarray(h2),
+
+    # pad everything to the bucket grid (EndOfDict pads are separators with
+    # zero-length suffixes; zero-count words; unreferenced ilist slots)
+    D_b = _bucket(D)
+    dwords_b = _bucket(dwords)
+    m_b = _bucket(ilist.shape[0])
+    nsuf_b = _bucket(nsuf)
+    total_b = _bucket(total)
+
+    def pad(a, size, fill=0):
+        out = np.full(size, fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    bwtc, sa_vals = _assemble_device(
+        jnp.asarray(pad(dict_flat, D_b)),
+        jnp.asarray(pad(occs, dwords_b)),
+        jnp.asarray(pad(np.asarray(bwlast, dtype=np.uint8), m_b)),
+        jnp.asarray(pad(np.asarray(ilist, dtype=np.int64), m_b)),
+        jnp.asarray(pad(np.asarray(bwsai, dtype=np.uint64), m_b)),
+        jnp.asarray(pad(h1, D_b)),
+        jnp.asarray(pad(h2, D_b)),
+        jnp.int64(nsuf),
+        jnp.int64(total),
         w,
-        nsuf,
-        total,
+        nsuf_b,
+        total_b,
     )
-    bwtc = np.asarray(bwtc)
-    nruns = int(np.asarray(nruns))
+    bwtc = np.asarray(bwtc)[:total]
+    run_start = np.empty(total, dtype=bool)
+    run_start[0] = True
+    np.not_equal(bwtc[1:], bwtc[:-1], out=run_start[1:])
+    nruns = int(np.count_nonzero(run_start))
     sa_out = None
     ssa = esa = None
     if want_sa or want_rssa:
-        sa_np = np.array(sa_vals)  # copy: device buffers are read-only
+        sa_np = np.array(sa_vals)[:total]  # copy: device buffers read-only
         sa_np[0] = np.uint64(n)
         if want_rssa:
-            rs = np.flatnonzero(np.asarray(run_start))
+            rs = np.flatnonzero(run_start)
             re = np.concatenate((rs[1:] - 1, [total - 1]))
             ssa = np.empty(2 * rs.shape[0], dtype=sa_dtype)
             ssa[0::2] = rs.astype(sa_dtype)
