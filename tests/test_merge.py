@@ -114,3 +114,32 @@ def test_merge_from_fasta_fallback(ref_tools, rng):
         a = open(f"{ref_out}.{ext}", "rb").read()
         b = open(f"{my_out}.{ext}", "rb").read()
         assert a == b, f".{ext} mismatch"
+
+
+def test_pod_parse_equals_single_shot(ref_tools, rng):
+    """Split -> parallel shard parse -> merge == single-shot parse, and byte
+    parity with the reference on the merged checkpoint files."""
+    from pfbwtf_tpu.parallel.driver import pod_parse
+
+    base = tmp_prefix("pod")
+    fa = random_fasta(base + ".fa", rng, nrecords=8, length=900)
+    params = ParserParams(w=10, p=10, get_sai=True)
+    pod_parse(fa, base + ".pod", params, nshards=4, workers=2)
+    ref_prefix = base + ".ref"
+    ref_tools.run_pfbwt(fa, ref_prefix, w=10, p=10, sa=1, rssa=0)
+    for ext in ["dict", "occ", "parse", "n", "bwlast", "ilist", "bwsai"]:
+        a = open(f"{ref_prefix}.{ext}", "rb").read()
+        b = open(f"{base}.pod.{ext}", "rb").read()
+        assert a == b, f".{ext} mismatch"
+    # and the merged checkpoint feeds --pfbwt-only to the same final BWT
+    from pfbwtf_tpu.pipeline import PfbwtConfig, run_pfbwt
+
+    run_pfbwt(PfbwtConfig(prefix=base + ".pod", w=10, sa=True))
+    assert (
+        open(base + ".pod.bwt", "rb").read()
+        == open(ref_prefix + ".bwt", "rb").read()
+    )
+    assert (
+        open(base + ".pod.sa", "rb").read()
+        == open(ref_prefix + ".sa", "rb").read()
+    )
