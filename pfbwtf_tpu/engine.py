@@ -47,10 +47,7 @@ def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = N
     backend = backend or default_backend()
     if backend == "jax":
         import jax
-        import jax.numpy as jnp
-        from functools import partial
 
-        from .ops.hash import hash_scan_jax
         from .utils.tables import NTOA_TABLE
         from .utils.errors import die
 
@@ -64,31 +61,6 @@ def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = N
         if scan_impl == "pallas" and jax.default_backend() != "tpu":
             scan_impl = "xla"  # the compiled kernel is TPU-only
 
-        def cut_mask(c, w, p):
-            if scan_impl == "pallas":
-                # bucketed input lengths are multiples of 2**16 == the
-                # kernel block, so no tail handling is needed
-                from .ops.pallas.hash_scan import _scan as pallas_scan, HALO
-
-                blk = 1 << 16
-                padded2 = jnp.pad(c, (HALO, 0))[None, :]
-                m = pallas_scan(padded2, w, p, blk, False)[0].astype(bool)
-                idx = jnp.arange(c.shape[0], dtype=jnp.int64)
-                return m & (idx >= w)
-            _, cut = hash_scan_jax(c, w, p)
-            return cut
-
-        # Two-phase cut extraction keeps device->host traffic minimal (the
-        # remote tunnel's D2H path is slow): first a scalar count, then the
-        # compacted positions at a bucketed static size.
-        @partial(jax.jit, static_argnames=("w", "p"))
-        def count_cuts(c, w, p):
-            return jnp.sum(cut_mask(c, w, p).astype(jnp.int64))
-
-        @partial(jax.jit, static_argnames=("w", "p", "size"))
-        def cut_positions(c, w, p, size):
-            return jnp.nonzero(cut_mask(c, w, p), size=size, fill_value=-1)[0]
-
         # Bucket the input length to a power-of-two-ish grid so compiled
         # programs are reused across inputs; pad codes are 0 ('A'), whose
         # spurious cuts beyond the true length are stripped below.
@@ -97,19 +69,65 @@ def parse_stream(C: np.ndarray, params: ParserParams, backend: Optional[str] = N
         padded = np.zeros(bucket, dtype=np.uint8)
         padded[:n] = codes
         dev_codes = jax.device_put(padded)
-        ncuts = int(np.asarray(count_cuts(dev_codes, params.w, params.p)))
+        ncuts = int(
+            np.asarray(_count_cuts(dev_codes, params.w, params.p, scan_impl))
+        )
         if ncuts == 0:
             cuts = np.zeros(0, dtype=np.int64)
         else:
             # bucket the compaction size to limit recompiles
             size = 1 << max(10, int(np.ceil(np.log2(ncuts))))
             pos = np.asarray(
-                cut_positions(dev_codes, params.w, params.p, size)
+                _cut_positions(dev_codes, params.w, params.p, size, scan_impl)
             )
             pos = pos[:ncuts]
             cuts = pos[pos < n].astype(np.int64)
         return parse_ops.phrase_bounds_from_cuts(C.shape[0], cuts, params.w)
     return parse_ops.parse_stream_np(C, params)
+
+
+def _cut_mask_device(c, w: int, p: int, scan_impl: str):
+    import jax.numpy as jnp
+
+    from .ops.hash import hash_scan_jax
+
+    if scan_impl == "pallas":
+        # bucketed input lengths are multiples of 2**16 == the kernel
+        # block, so no tail handling is needed
+        from .ops.pallas.hash_scan import _scan as pallas_scan, HALO
+
+        blk = 1 << 16
+        padded2 = jnp.pad(c, (HALO, 0))[None, :]
+        m = pallas_scan(padded2, w, p, blk, False)[0].astype(bool)
+        idx = jnp.arange(c.shape[0], dtype=jnp.int64)
+        return m & (idx >= w)
+    _, cut = hash_scan_jax(c, w, p)
+    return cut
+
+
+# Two-phase cut extraction keeps device->host traffic minimal (the remote
+# tunnel's D2H path is slow): first a scalar count, then the compacted
+# positions at a bucketed static size.  Module-level jits so repeated calls
+# reuse traces.
+def _make_jits():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("w", "p", "scan_impl"))
+    def count_cuts(c, w, p, scan_impl):
+        return jnp.sum(_cut_mask_device(c, w, p, scan_impl).astype(jnp.int64))
+
+    @partial(jax.jit, static_argnames=("w", "p", "size", "scan_impl"))
+    def cut_positions(c, w, p, size, scan_impl):
+        return jnp.nonzero(
+            _cut_mask_device(c, w, p, scan_impl), size=size, fill_value=-1
+        )[0]
+
+    return count_cuts, cut_positions
+
+
+_count_cuts, _cut_positions = _make_jits()
 
 
 def parse_records(records, params: ParserParams, backend: Optional[str] = None) -> ParseResult:
