@@ -44,6 +44,14 @@ def build_argparser():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--u32", action="store_true",
                     help="32-bit integer file widths (reference pfbwt-f)")
+    ap.add_argument("--chunk-mb", type=int, default=0,
+                    help="bounded-memory parse: stream the scan through the "
+                         "device in chunks of this many MB (0 = whole-array)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="pod-style parse: split into N shards, parse in "
+                         "parallel, merge (0 = single stream)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="process workers for --shards (default: shards)")
     ap.add_argument("-f", action="store_true", help=argparse.SUPPRESS)  # legacy
     return ap
 
@@ -78,7 +86,26 @@ def main(argv=None):
                 trim_non_acgt=args.trim_non_acgt,
                 verbose=args.verbose,
             )
-            n = run_parser(args.fasta, output, params, dtype)
+            if args.shards > 1:
+                from ..parallel.driver import pod_parse
+
+                res = pod_parse(
+                    args.fasta, output, params, nshards=args.shards,
+                    workers=args.workers or args.shards, dtype=dtype,
+                )
+                n = res.n
+            elif args.chunk_mb > 0:
+                from ..ops.chunked import parse_fasta_chunked
+                from ..pipeline import save_parse_bwt, save_parser
+
+                res = parse_fasta_chunked(
+                    args.fasta, params, chunk=args.chunk_mb << 20
+                )
+                save_parser(res, output, dtype)
+                save_parse_bwt(res, output, dtype, sa=params.get_sai)
+                n = res.n
+            else:
+                n = run_parser(args.fasta, output, params, dtype)
         if not args.parse_only:
             print("generating BWT using pfbwt algorithm...", file=sys.stderr)
             cfg = PfbwtConfig(

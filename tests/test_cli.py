@@ -115,3 +115,19 @@ def test_vcf_to_bwt_cli_with_sample_file():
     n = int(sa[0])
     # 1 ref + 2 samples x 2 haps = 5 copies of (10000 + 10 pad)
     assert n == 5 * 10010
+
+
+def test_pfbwt_sharded_and_chunked_flags(rng):
+    fa = random_fasta(tmp_prefix("sc") + ".fa", rng, nrecords=4, length=800)
+    base, pod, chk = tmp_prefix("b"), tmp_prefix("p"), tmp_prefix("c")
+    assert pfbwt_f.main([fa, "-o", base, "-s", "-p", "10"]) == 0
+    assert pfbwt_f.main([fa, "-o", pod, "-s", "-p", "10", "--shards", "3"]) == 0
+    assert pfbwt_f.main([fa, "-o", chk, "-s", "-p", "10",
+                         "--chunk-mb", "1"]) == 0
+    for out in (pod, chk):
+        assert (
+            open(f"{base}.bwt", "rb").read() == open(f"{out}.bwt", "rb").read()
+        )
+        assert (
+            open(f"{base}.sa", "rb").read() == open(f"{out}.sa", "rb").read()
+        )
