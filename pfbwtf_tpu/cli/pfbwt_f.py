@@ -47,6 +47,10 @@ def build_argparser():
     ap.add_argument("--chunk-mb", type=int, default=0,
                     help="bounded-memory parse: stream the scan through the "
                          "device in chunks of this many MB (0 = whole-array)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="parse collectively on the local device mesh "
+                         "(halo-exchange scan + all_to_all dictionary "
+                         "sample-sort)")
     ap.add_argument("--shards", type=int, default=0,
                     help="pod-style parse: split into N shards, parse in "
                          "parallel, merge (0 = single stream)")
@@ -86,7 +90,19 @@ def main(argv=None):
                 trim_non_acgt=args.trim_non_acgt,
                 verbose=args.verbose,
             )
-            if args.shards > 1:
+            if args.mesh:
+                from ..io.fasta import read_fasta_bytes
+                from ..parallel.dict_union import distributed_parse_records
+                from ..parallel.sharded import make_parse_mesh
+                from ..pipeline import save_parse_bwt, save_parser
+
+                res = distributed_parse_records(
+                    read_fasta_bytes(args.fasta), params, make_parse_mesh()
+                )
+                save_parser(res, output, dtype)
+                save_parse_bwt(res, output, dtype, sa=params.get_sai)
+                n = res.n
+            elif args.shards > 1:
                 from ..parallel.driver import pod_parse
 
                 res = pod_parse(

@@ -124,7 +124,9 @@ def test_pfbwt_sharded_and_chunked_flags(rng):
     assert pfbwt_f.main([fa, "-o", pod, "-s", "-p", "10", "--shards", "3"]) == 0
     assert pfbwt_f.main([fa, "-o", chk, "-s", "-p", "10",
                          "--chunk-mb", "1"]) == 0
-    for out in (pod, chk):
+    msh = tmp_prefix("m")
+    assert pfbwt_f.main([fa, "-o", msh, "-s", "-p", "10", "--mesh"]) == 0
+    for out in (pod, chk, msh):
         assert (
             open(f"{base}.bwt", "rb").read() == open(f"{out}.bwt", "rb").read()
         )
