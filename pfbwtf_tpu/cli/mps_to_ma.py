@@ -13,8 +13,12 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="out")
     ap.add_argument("-m", "--mmap", action="store_true",
                     help="accepted for compatibility")
+    ap.add_argument("--device", action="store_true",
+                    help="run the SA->MA searchsorted/coalescing pass on "
+                         "the accelerator (markers/ma_jax.py)")
     args = ap.parse_args(argv)
-    write_marker_array(args.mps, args.sa, args.output)
+    write_marker_array(args.mps, args.sa, args.output,
+                       backend="jax" if args.device else "")
     return 0
 
 

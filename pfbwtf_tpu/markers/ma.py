@@ -37,9 +37,13 @@ def marker_array_from_sa(sa_values: np.ndarray, mai: RleWindowArray):
     return starts, ends, markers
 
 
-def write_marker_array(mps_fname: str, sa_source, output: str):
+def write_marker_array(mps_fname: str, sa_source, output: str,
+                       backend: str = ""):
     """mps_to_ma CLI core: ``sa_source`` is a path to a .sa file (uint64),
-    '-' for stdin, or a numpy array of SA values."""
+    '-' for stdin, or a numpy array of SA values.  ``backend='jax'`` (or
+    PFBWT_MA_BACKEND=jax) runs the permute's searchsorted + coalescing on
+    device (markers/ma_jax.py)."""
+    import os
     import sys
 
     if isinstance(sa_source, str):
@@ -51,6 +55,12 @@ def write_marker_array(mps_fname: str, sa_source, output: str):
     else:
         sa_values = np.asarray(sa_source, dtype=np.uint64)
     mai = RleWindowArray(mps_fname)
-    starts, ends, markers = marker_array_from_sa(sa_values, mai)
+    backend = backend or os.environ.get("PFBWT_MA_BACKEND", "").lower()
+    if backend == "jax":
+        from .ma_jax import marker_array_from_sa_jax
+
+        starts, ends, markers = marker_array_from_sa_jax(sa_values, mai)
+    else:
+        starts, ends, markers = marker_array_from_sa(sa_values, mai)
     with open(output, "wb") as f:
         write_mps_runs(f, starts, ends, markers)

@@ -14,6 +14,7 @@ Haplotype order matches the reference: [ref] + [sample h0, sample h1, ...]
 (vcf_to_bwt.py:191-192).
 """
 
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -144,9 +145,16 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
     if cfg.ma:
         with task_timer("constructing marker array"):
             mai = RleWindowArray(cfg.output + ".mps")
-            starts, ends, markers = marker_array_from_sa(
-                bwt_res.sa.astype(np.int64), mai
-            )
+            if os.environ.get("PFBWT_MA_BACKEND", "").lower() == "jax":
+                from ..markers.ma_jax import marker_array_from_sa_jax
+
+                starts, ends, markers = marker_array_from_sa_jax(
+                    bwt_res.sa.astype(np.int64), mai
+                )
+            else:
+                starts, ends, markers = marker_array_from_sa(
+                    bwt_res.sa.astype(np.int64), mai
+                )
             with open(cfg.output + ".ma", "wb") as f:
                 write_mps_runs(f, starts, ends, markers)
     print(f"n: {res.n}\nr: {bwt_res.nruns}", file=sys.stderr)

@@ -178,3 +178,47 @@ def test_marker_array_from_sa_coalesces_identical_lists():
     assert starts.tolist() == [0, 3]
     assert ends.tolist() == [1, 4]
     assert [m.tolist() for m in markers] == [[42], [42]]
+
+
+def test_marker_array_from_sa_jax_matches_host(rng):
+    """The device SA->MA permute (searchsorted + coalescing in HBM) must
+    reproduce the host pass run-for-run."""
+    from pfbwtf_tpu.markers.ma import marker_array_from_sa
+    from pfbwtf_tpu.markers.ma_jax import marker_array_from_sa_jax
+
+    # random non-overlapping runs with some shared marker content
+    nruns = 40
+    edges = np.sort(rng.choice(np.arange(1, 5000), size=2 * nruns,
+                               replace=False))
+    starts, ends = edges[0::2], edges[1::2]
+    pool = [
+        np.array([7], np.uint64),
+        np.array([7, 9], np.uint64),
+        np.array([11], np.uint64),
+    ]
+    markers = [pool[int(i)] for i in rng.integers(0, len(pool), nruns)]
+    arr = RleWindowArray(_mps_bytes(starts, ends, markers))
+    sa = rng.permutation(6000).astype(np.uint64)
+    h = marker_array_from_sa(sa, arr)
+    d = marker_array_from_sa_jax(sa, arr)
+    assert np.array_equal(h[0], d[0])
+    assert np.array_equal(h[1], d[1])
+    assert len(h[2]) == len(d[2])
+    for a, b in zip(h[2], d[2]):
+        assert np.array_equal(a, b)
+
+
+def test_write_marker_array_backend_jax(tmp_path, rng):
+    from pfbwtf_tpu.markers.ma import write_marker_array
+
+    starts = np.array([3, 20], np.uint64)
+    ends = np.array([9, 30], np.uint64)
+    markers = [np.array([5], np.uint64), np.array([5], np.uint64)]
+    mps = tmp_path / "x.mps"
+    mps.write_bytes(_mps_bytes(starts, ends, markers))
+    sa = rng.permutation(50).astype(np.uint64)
+    out_h = tmp_path / "h.ma"
+    out_d = tmp_path / "d.ma"
+    write_marker_array(str(mps), sa, str(out_h))
+    write_marker_array(str(mps), sa, str(out_d), backend="jax")
+    assert out_h.read_bytes() == out_d.read_bytes()
