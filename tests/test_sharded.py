@@ -58,3 +58,34 @@ def test_sharded_phrase_sketch_matches_stream(rng):
     bucket = (h >> np.uint64(40)).astype(np.int64) % (1 << bits)
     expect = np.bincount(bucket[cut], minlength=1 << bits)
     assert np.array_equal(sketch, expect)
+
+
+def test_multihost_single_process(tmp_path, rng):
+    """Single-process degenerate case of the multi-host driver: the merged
+    checkpoint equals a direct parse (the N-process case is the same code
+    over jax.distributed; its merge algebra is covered by test_merge)."""
+    from pfbwtf_tpu.ops.parse import ParserParams, parse_fasta
+    from pfbwtf_tpu.parallel.multihost import multihost_parse
+    from pfbwtf_tpu.pipeline import save_parser
+
+    fa = tmp_path / "in.fa"
+    seq = "".join(np.random.default_rng(5).choice(list("ACGT"), size=4000))
+    fa.write_text(f">r1\n{seq[:2000]}\n>r2\n{seq[2000:]}\n")
+    params = ParserParams(w=10, p=10)
+    out = str(tmp_path / "mh")
+    merged = multihost_parse(str(fa), out, params, barrier=False)
+    direct = parse_fasta(str(fa), params)
+    ref = str(tmp_path / "direct")
+    save_parser(direct, ref)
+    for ext in (".dict", ".occ", ".parse", ".n"):
+        assert (
+            open(out + ext, "rb").read() == open(ref + ext, "rb").read()
+        ), ext
+
+
+def test_scaling_bench_smoke():
+    from benchmarks.scaling import bench_scaling
+
+    rows = bench_scaling(shard_mb=0.05, iters=1)
+    assert rows[0]["devices"] == 1 and rows[-1]["devices"] == 8
+    assert all(r["mbps"] > 0 for r in rows)
