@@ -8,8 +8,11 @@ wrapper provides: apply a sample's haplotype to the reference FASTA, write
 the consensus FASTA, optionally write markers.
 
 bcftools compatibility notes: -H is 1-based (1|2); with no sample the
-reference alleles are applied (gt=0 everywhere).  The bcftools masking /
-chain / IUPAC options are out of scope.
+reference alleles are applied (gt=0 everywhere).  Supported transforms:
+-p prefix, --mark-del/--mark-ins/--mark-snv, -a absent, -M missing,
+-m mask (BED) + --mask-with CHAR|uc|lc (consensus.cpp:1105-1130).
+-I/--iupac-codes is DISABLED in the reference itself (consensus.cpp:1120)
+and -i/-e filter expressions and -c chain output are out of scope.
 """
 
 import argparse
@@ -17,7 +20,13 @@ import sys
 
 from ..io.fasta import write_fai
 from ..vcf.reader import merge_vcfs
-from ..vcf.scan import scan_vcf_sample
+from ..vcf.scan import ConsensusOpts, read_mask_bed, scan_vcf_sample
+
+
+def _mark_case(val: str, flag: str) -> str:
+    if val not in ("uc", "lc"):
+        raise SystemExit(f"The argument is not recognised: {flag} {val}")
+    return val
 
 
 def main(argv=None):
@@ -33,7 +42,45 @@ def main(argv=None):
                     help="write marker positions (.mps) to this file")
     ap.add_argument("--marker_wsize", type=int, default=10)
     ap.add_argument("-w", "--window-size", type=int, default=10, dest="w")
+    ap.add_argument("-p", "--prefix", default="",
+                    help="prefix added to output sequence names")
+    ap.add_argument("--mark-del", default="", metavar="CHAR",
+                    help="insert CHAR for deleted bases instead of "
+                         "removing them")
+    ap.add_argument("--mark-ins", default="", metavar="uc|lc",
+                    help="case of inserted bases")
+    ap.add_argument("--mark-snv", default="", metavar="uc|lc",
+                    help="case of substituted bases")
+    ap.add_argument("-a", "--absent", default="", metavar="CHAR",
+                    help="replace positions absent from the VCF with CHAR")
+    ap.add_argument("-M", "--missing", default="", metavar="CHAR",
+                    help="output CHAR for missing genotypes ./.")
+    ap.add_argument("-m", "--mask", default="", metavar="FILE",
+                    help="BED file of regions to mask")
+    ap.add_argument("--mask-with", default="N", metavar="CHAR|uc|lc")
     args = ap.parse_args(argv)
+
+    for flag, val in (("--mark-ins", args.mark_ins),
+                      ("--mark-snv", args.mark_snv)):
+        if val:
+            _mark_case(val, flag)
+    copts = None
+    if (args.prefix or args.mark_del or args.mark_ins or args.mark_snv
+            or args.absent or args.missing or args.mask):
+        copts = ConsensusOpts(
+            mark_del=args.mark_del,
+            mark_ins=args.mark_ins,
+            mark_snv=args.mark_snv,
+            absent=args.absent,
+            missing=args.missing,
+            prefix=args.prefix,
+            mask=read_mask_bed(args.mask) if args.mask else {},
+            mask_with=args.mask_with,
+        )
+        if args.markers and copts.length_changing():
+            print("error: length-changing consensus options cannot be "
+                  "combined with -x/--markers", file=sys.stderr)
+            return 1
 
     write_fai(args.ref)
     vcf = merge_vcfs(args.vcfs)
@@ -46,6 +93,7 @@ def main(argv=None):
         ma_wsize=args.marker_wsize,
         ref_only=(args.sample == ""),
         want_markers=bool(args.markers),
+        copts=copts,
     )
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     for name, seq in res.records:

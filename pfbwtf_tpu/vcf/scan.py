@@ -30,6 +30,89 @@ from .reader import VCF
 
 
 @dataclass
+class ConsensusOpts:
+    """bcftools-consensus-style sequence transforms (consensus.cpp:469-507,
+    1105-1130).  Case marks are length-preserving; mark_del / missing /
+    absent change emission lengths and are therefore rejected when marker
+    emission is on (the reference tracks them through its own bias logic;
+    here consensus mode and marker mode are exclusive for those)."""
+
+    mark_del: str = ""  # CHAR emitted in place of deleted bases
+    mark_ins: str = ""  # 'uc'|'lc': case of inserted bases
+    mark_snv: str = ""  # 'uc'|'lc': case of substituted bases
+    absent: str = ""  # CHAR for positions absent from the VCF
+    missing: str = ""  # CHAR applied for missing genotypes ./.
+    prefix: str = ""  # prepended to output sequence names
+    mask: dict = field(default_factory=dict)  # contig -> [(start, end)) BED
+    mask_with: str = "N"  # CHAR | 'uc' | 'lc'
+
+    def length_changing(self) -> bool:
+        return bool(self.mark_del or self.absent or self.missing
+                    or (self.mask and self.mask_with not in ("uc", "lc")))
+
+
+def _case_seg(seg: bytes, how: str) -> bytes:
+    return seg.lower() if how == "lc" else seg.upper()
+
+
+def _apply_mask(ref_seq: bytes, regions, mask_with: str):
+    """Returns (masked ref, list of char-masked regions to skip variants
+    in).  BED semantics: 0-based half-open."""
+    buf = bytearray(ref_seq)
+    skip = []
+    for s, e in regions:
+        s = max(0, int(s))
+        e = min(len(buf), int(e))
+        if e <= s:
+            continue
+        if mask_with in ("uc", "lc"):
+            buf[s:e] = _case_seg(bytes(buf[s:e]), mask_with)
+        else:
+            buf[s:e] = mask_with.encode() * (e - s)
+            skip.append((s, e))
+    return bytes(buf), skip
+
+
+def _consensus_allele(copts: "ConsensusOpts", ref_b: bytes, alt_b: bytes,
+                      gt: int, gt_missing: bool) -> bytes:
+    """Emission transform per applied allele (consensus.cpp:469-507,
+    :851-881).  mark_del pads the emission back to REF length; case marks
+    touch only the substituted/inserted bases."""
+    if gt_missing:
+        return copts.missing.encode() if copts.missing else alt_b
+    if gt == 0:
+        return alt_b
+    out = bytearray(alt_b)
+    if copts.mark_snv:
+        n = min(len(ref_b), len(out))
+        for i in range(n):
+            if ref_b[i: i + 1].lower() != bytes(out[i: i + 1]).lower():
+                out[i: i + 1] = _case_seg(bytes(out[i: i + 1]),
+                                          copts.mark_snv)
+    if copts.mark_ins and len(out) > len(ref_b):
+        out[len(ref_b):] = _case_seg(bytes(out[len(ref_b):]),
+                                     copts.mark_ins)
+    if copts.mark_del and len(out) < len(ref_b):
+        out += copts.mark_del.encode() * (len(ref_b) - len(out))
+    return bytes(out)
+
+
+def read_mask_bed(path: str) -> dict:
+    """contig -> [(start, end)) from a BED file (-m FILE)."""
+    regions: dict = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(("#", "track", "browser")):
+                continue
+            parts = line.split()
+            regions.setdefault(parts[0], []).append(
+                (int(parts[1]), int(parts[2]))
+            )
+    return regions
+
+
+@dataclass
 class ScanResult:
     records: List[Tuple[str, np.ndarray]] = field(default_factory=list)
     mps_bytes: bytes = b""
@@ -50,7 +133,14 @@ def scan_vcf_sample(
     ref_only: bool = False,
     want_markers: bool = True,
     contigs: Optional[List[str]] = None,
+    copts: Optional[ConsensusOpts] = None,
 ) -> ScanResult:
+    if copts is not None and want_markers and copts.length_changing():
+        raise ValueError(
+            "length-changing consensus options (--mark-del, --absent, "
+            "--missing, char --mask-with) cannot be combined with marker "
+            "emission"
+        )
     mps_buf = io.BytesIO()
     writer = MarkerPositionsWriter(ma_wsize, mps_buf) if want_markers else None
     out = ScanResult()
@@ -68,7 +158,14 @@ def scan_vcf_sample(
             )
             continue
         ref_len = len(ref_seq)
+        masked_skip: List[Tuple[int, int]] = []
+        if copts is not None and contig in copts.mask:
+            ref_seq, masked_skip = _apply_mask(
+                ref_seq, copts.mask[contig], copts.mask_with
+            )
         header = contig if ref_only else f"{sample}.{haplotype}.{contig}"
+        if copts is not None and copts.prefix:
+            header = copts.prefix + header
         pieces: List[bytes] = []
         ppos_after = 0
         bias = 0
@@ -83,10 +180,16 @@ def scan_vcf_sample(
                     file=sys.stderr,
                 )
                 continue
+            if masked_skip and any(
+                s < r1 and r0 < e for s, e in masked_skip
+            ):
+                continue  # char-masked region: variant not applied
             if ref_only:
                 gt = 0
+                gt_missing = False
             else:
                 gt = rec.gts[sample_idx][haplotype] if rec.gts else -1
+                gt_missing = gt == -1
                 if gt == -1:
                     gt = 0
             if gt >= rec.n_allele:
@@ -111,11 +214,22 @@ def scan_vcf_sample(
                         writer.update(base + i, rec.pos, gt, rid)
                     bias += alen - 1
             # sequence: ref slice up to the record, then the chosen allele
-            pieces.append(ref_seq[ppos_after : rec.pos])
-            pieces.append(rec.alleles[gt].encode())
+            gap = ref_seq[ppos_after : rec.pos]
+            if copts is not None and copts.absent:
+                gap = copts.absent.encode() * len(gap)
+            pieces.append(gap)
+            allele_b = rec.alleles[gt].encode()
+            if copts is not None:
+                allele_b = _consensus_allele(
+                    copts, rec.alleles[0].encode(), allele_b, gt, gt_missing
+                )
+            pieces.append(allele_b)
             ppos_after = rec.pos + rlen
             prange = (r0, r1)
-        pieces.append(ref_seq[ppos_after:ref_len])
+        tail = ref_seq[ppos_after:ref_len]
+        if copts is not None and copts.absent:
+            tail = copts.absent.encode() * len(tail)
+        pieces.append(tail)
         if writer is not None:
             writer.finish_sequence()
         seq = np.frombuffer(b"".join(pieces), dtype=np.uint8)
