@@ -22,17 +22,19 @@ from ..utils.tables import NTOA_TABLE
 
 
 def chunked_cut_positions(
-    codes_iter: Iterable[np.ndarray], w: int, p: int, chunk: int = 1 << 24
+    codes_iter: Iterable[np.ndarray], w: int, p: int, chunk: int = 1 << 24,
+    depth: int = 2,
 ) -> np.ndarray:
     """Global cut positions over a stream of code arrays (values 0..3).
 
     ``codes_iter`` yields arbitrary-size pieces; they are re-blocked into
-    fixed ``chunk``-size device calls.  Returns absolute cut positions.
+    fixed ``chunk``-size device calls.  Dispatch is pipelined ``depth``
+    deep: chunk k+1's H2D transfer and scan overlap the host-side
+    materialization of chunk k's results (JAX dispatch is async; only the
+    ``np.asarray`` fetch blocks).  Returns absolute cut positions.
     """
     import jax
     import jax.numpy as jnp
-
-    from .hash import hash_scan_jax
 
     halo = max(w - 1, 0)
 
@@ -61,20 +63,31 @@ def chunked_cut_positions(
     # conservative per-chunk cut capacity; p>=2 so cuts <= chunk/1, use
     # chunk//max(p,1)*8+1024 bucketed to limit recompiles
     size = min(chunk, (chunk // max(p, 1)) * 8 + 1024)
+    pending: List[tuple] = []  # (count_dev, pos_dev, ext_copy, off, n_valid)
+
+    def collect():
+        count_dev, pos_dev, ext_copy, off, n_valid = pending.pop(0)
+        count = int(np.asarray(count_dev))
+        if count > size:
+            # rare dense-cut chunk: redo synchronously at full capacity
+            count2, pos_dev = scan_chunk(ext_copy, off, w, p, chunk)
+            count = int(np.asarray(count2))
+        pos_np = np.asarray(pos_dev)[:count]
+        pos_np = pos_np[pos_np < n_valid]
+        cuts.append(pos_np + off)
 
     def flush(n_valid):
         nonlocal offset
         if n_valid == 0:
             return
-        count, pos = scan_chunk(buf, offset, w, p, size)
-        count = int(np.asarray(count))
-        if count > size:
-            # rare dense-cut chunk: redo with full capacity
-            count2, pos = scan_chunk(buf, offset, w, p, chunk)
-            count = int(np.asarray(count2))
-        pos_np = np.asarray(pos)[:count]
-        pos_np = pos_np[pos_np < n_valid]
-        cuts.append(pos_np + offset)
+        # the H2D copy of `buf` happens at call time, so the buffer can be
+        # refilled immediately; keep a host copy only for the rare
+        # capacity-overflow rescan
+        ext_copy = buf.copy()
+        count_dev, pos_dev = scan_chunk(ext_copy, offset, w, p, size)
+        pending.append((count_dev, pos_dev, ext_copy, offset, n_valid))
+        if len(pending) >= max(depth, 1):
+            collect()
         # carry halo: last halo codes of the valid region
         if halo:
             lo = halo + n_valid - halo
@@ -95,6 +108,8 @@ def chunked_cut_positions(
     if fill:
         buf[halo + fill :] = 0
         flush(fill)
+    while pending:
+        collect()
     if not cuts:
         return np.zeros(0, dtype=np.int64)
     return np.concatenate(cuts)

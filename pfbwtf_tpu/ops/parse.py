@@ -173,8 +173,16 @@ def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     Fast path: the native memcmp-rank kernel (one C++ sort over the
     occurrence (start, len) pairs — exact, allocation-light).  Fallback:
     (len, 128-bit substring hash) dedup + chunked radix word sort in numpy.
-    Returns (sorted phrase list, occs, 1-based rank per occurrence).
+    PFBWT_DICT_IMPL=jax selects the on-device chunk-row sort instead
+    (parallel/dict_union.device_rank_rows) — the device-resident pipeline
+    option.  Returns (sorted phrase list, occs, 1-based rank/occurrence).
     """
+    import os
+
+    if os.environ.get("PFBWT_DICT_IMPL", "").lower() == "jax":
+        from ..parallel.dict_union import dedup_rank_device
+
+        return dedup_rank_device(T, starts, ends)
     lens = (ends - starts + 1).astype(np.int64)
     try:
         from ..native import available, rank_substrings_native

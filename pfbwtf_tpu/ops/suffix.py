@@ -172,24 +172,30 @@ def _doubling_jax(keys):
 
     All shapes are static (the carry is the dense rank array); the loop ends
     as soon as ranks are all distinct, after at most ceil(log2 n) rounds.
-    Each round is one two-key sort (`jnp.lexsort` lowers to lax.sort) plus a
-    scan — every step parallel, no induced-sort bucket serialism.
+    Each round fuses the (rank, rank[i+k]) pair into ONE int64 sort key —
+    rank*(n+1) + key2+1, collision-free since both < n+1 — so lax.sort
+    compares a single operand per element instead of the reference's
+    sequential bucket scans or a two-operand lexicographic sort.  Falls
+    back to the two-key form above ~3e9 elements where the pack would
+    overflow int64 (guarded by the caller's width checks long before).
     """
     n = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int64)
 
-    def densify(order, r1, r2):
+    def densify1(order, ck):
+        cks = ck[order]
         changed = jnp.concatenate(
             (
                 jnp.zeros(1, jnp.int64),
-                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int64),
+                (cks[1:] != cks[:-1]).astype(jnp.int64),
             )
         )
         new_rank = jnp.cumsum(changed)
         return jnp.zeros(n, jnp.int64).at[order].set(new_rank)
 
-    order0 = jnp.argsort(keys.astype(jnp.int64))
-    rank = densify(order0, keys.astype(jnp.int64)[order0], jnp.zeros(n, jnp.int64))
+    k0 = keys.astype(jnp.int64)
+    order0 = jnp.argsort(k0)
+    rank = densify1(order0, k0)
 
     def cond(carry):
         rank, k = carry
@@ -198,8 +204,9 @@ def _doubling_jax(keys):
     def body(carry):
         rank, k = carry
         key2 = jnp.where(idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], -1)
-        order = jnp.lexsort((key2, rank))
-        rank = densify(order, rank[order], key2[order])
+        ckey = rank * jnp.int64(n + 1) + (key2 + 1)
+        order = jnp.argsort(ckey)
+        rank = densify1(order, ckey)
         return rank, k * 2
 
     rank, _ = jax.lax.while_loop(cond, body, (rank, jnp.int64(1)))

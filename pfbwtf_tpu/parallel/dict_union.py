@@ -168,6 +168,18 @@ def phrase_chunk_rows(T: np.ndarray, starts, ends) -> np.ndarray:
     return cols
 
 
+def _dict_from_ranks(T: np.ndarray, starts, ends, ranks: np.ndarray):
+    """Host tail shared by the distributed and local device paths: dict
+    phrase list + occurrence counts from per-occurrence 1-based ranks."""
+    D = int(ranks.max(initial=0))
+    occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
+    _, first = np.unique(ranks, return_index=True)
+    Tb = T.tobytes()
+    lens = ends - starts + 1
+    phrases = [bytes(Tb[starts[i]: starts[i] + lens[i]]) for i in first]
+    return phrases, occs, ranks.astype(np.uint32)
+
+
 def distributed_dedup_rank(T: np.ndarray, starts, ends, mesh,
                            axis: str = "dp"):
     """Collective phrase dedup + byte-lex ranking.
@@ -178,13 +190,54 @@ def distributed_dedup_rank(T: np.ndarray, starts, ends, mesh,
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
     cols = phrase_chunk_rows(T, starts, ends)
-    ranks, D = distributed_rank_rows(cols, mesh, axis)
-    occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
-    _, first = np.unique(ranks, return_index=True)
-    Tb = T.tobytes()
-    lens = ends - starts + 1
-    phrases = [bytes(Tb[starts[i]: starts[i] + lens[i]]) for i in first]
-    return phrases, occs, ranks.astype(np.uint32)
+    ranks, _ = distributed_rank_rows(cols, mesh, axis)
+    return _dict_from_ranks(T, starts, ends, ranks)
+
+
+_local_rank_jit = None
+
+
+def device_rank_rows(cols: np.ndarray) -> np.ndarray:
+    """Single-device byte-lex group ranks of chunk rows: one multi-operand
+    lax.sort + adjacent-compare in HBM (the no-mesh form of the collective
+    rank; shapes are bucketed so compiled programs are reused)."""
+    global _local_rank_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _local_rank_jit is None:
+
+        @jax.jit
+        def rank_rows(c):
+            order = jnp.lexsort(
+                tuple(c[:, j] for j in range(c.shape[1] - 1, -1, -1))
+            )
+            s = c[order]
+            head = jnp.concatenate(
+                (jnp.ones(1, bool), jnp.any(s[1:] != s[:-1], axis=1))
+            )
+            gid = jnp.cumsum(head.astype(jnp.int64))  # 1-based
+            return jnp.zeros(c.shape[0], jnp.int64).at[order].set(gid)
+
+        _local_rank_jit = rank_rows
+
+    N, ncols = cols.shape
+    ncols_b = -(-max(ncols, 1) // 4) * 4
+    Nb = _round_up(max(N, 1), 4096)
+    padded = np.zeros((Nb, ncols_b), dtype=np.uint64)
+    padded[:N, :ncols] = cols
+    padded[N:, :] = _U64MAX  # padding rows sort last (real bytes < 0xFF)
+    return np.asarray(_local_rank_jit(padded))[:N]
+
+
+def dedup_rank_device(T: np.ndarray, starts, ends):
+    """On-device phrase dedup+rank (keeps the dict build in HBM between
+    the scan and the suffix stages — the device-resident pipeline path)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    cols = phrase_chunk_rows(T, starts, ends)
+    ranks = device_rank_rows(cols)
+    return _dict_from_ranks(T, starts, ends, ranks)
 
 
 def distributed_parse_records(records, params: ParserParams, mesh,

@@ -74,3 +74,16 @@ def test_distributed_parse_tiny_input(rng):
     assert got.phrases == want.phrases
     assert np.array_equal(got.parse_ranks, want.parse_ranks)
     assert np.array_equal(got.occs, want.occs)
+
+
+def test_device_dict_impl_matches_host(rng, monkeypatch):
+    """PFBWT_DICT_IMPL=jax (on-device chunk-row sort) must produce the
+    identical parse to the host dedup/rank."""
+    chars = rng.choice(list(b"ACGT"), size=20_000).astype(np.uint8)
+    params = ParserParams(w=8, p=13)
+    want = parse_records([("c", chars)], params)
+    monkeypatch.setenv("PFBWT_DICT_IMPL", "jax")
+    got = parse_records([("c", chars)], params)
+    assert got.phrases == want.phrases
+    assert np.array_equal(got.occs, want.occs)
+    assert np.array_equal(got.parse_ranks, want.parse_ranks)
