@@ -47,6 +47,9 @@ def build_argparser():
     ap.add_argument("--chunk-mb", type=int, default=0,
                     help="bounded-memory parse: stream the scan through the "
                          "device in chunks of this many MB (0 = whole-array)")
+    ap.add_argument("--device", action="store_true",
+                    help="device-resident pipeline: run scan, dict sort, "
+                         "parse-BWT and assembly on the accelerator")
     ap.add_argument("--mesh", action="store_true",
                     help="parse collectively on the local device mesh "
                          "(halo-exchange scan + all_to_all dictionary "
@@ -63,6 +66,10 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     print("==== Command line:", " ".join(sys.argv), file=sys.stderr)
+    if args.device:
+        from ..engine import enable_device_pipeline
+
+        enable_device_pipeline()
     if args.non_acgt_to_a and args.trim_non_acgt:
         print("cannot have both --non-acgt-to-a and --trim-non-acgt",
               file=sys.stderr)

@@ -19,6 +19,17 @@ from .ops.parse import ParserParams, ParseResult
 from .ops.parse_bwt import ParseBWT, bwt_of_parse
 
 
+def enable_device_pipeline():
+    """Route every heavy stage through the accelerator: hash scan + cut
+    compaction, dict chunk-row sort, parse-BWT (doubling SA + permutes),
+    emission-sort assembly, and the SA->MA permute.  Host work left: file
+    IO and O(#phrases)/O(#dict-words) metadata."""
+    os.environ.setdefault("PFBWT_BACKEND", "jax")
+    os.environ.setdefault("PFBWT_DICT_IMPL", "jax")
+    os.environ.setdefault("PFBWT_ASSEMBLE_BACKEND", "jax")
+    os.environ.setdefault("PFBWT_MA_BACKEND", "jax")
+
+
 def default_backend() -> str:
     env = os.environ.get("PFBWT_BACKEND", "").lower()
     if env in ("jax", "numpy"):
@@ -162,12 +173,9 @@ def parse_bwt(res_or_ranks, last=None, sai=None, get_sai=True,
     else:
         ranks = res_or_ranks
     if backend == "jax":
-        from .ops.suffix import suffix_array_ints_jax
+        from .ops.parse_bwt import bwt_of_parse_device
 
-        def sa_fn(seq):
-            return np.asarray(suffix_array_ints_jax(seq))
-
-        return bwt_of_parse(ranks, last, sai, get_sai=get_sai, sa_fn=sa_fn)
+        return bwt_of_parse_device(ranks, last, sai, get_sai=get_sai)
     return bwt_of_parse(ranks, last, sai, get_sai=get_sai)
 
 

@@ -13,10 +13,10 @@ derivation), with every large-array stage on device:
 All input shapes are padded to a coarse bucket grid and true sizes flow in
 as device scalars, so compiled programs are reused across inputs (compiles
 are expensive on remote-attached devices).  Suffix-equality groups use two
-independent 64-bit polynomial hashes computed on host (exact mod-2**64
-wraparound, two passes over the dict); the numpy path (ops/bwt.py)
-byte-verifies group equality and the device path is cross-checked against
-it in the test suite.
+independent 64-bit polynomial hashes computed inside the jit (uint64
+cumsum/cumprod wrap mod 2**64 in XLA exactly as in numpy); the numpy path
+(ops/bwt.py) byte-verifies group equality and the device path is
+cross-checked against it in the test suite.
 """
 
 from functools import partial
@@ -28,9 +28,9 @@ import numpy as np
 from .bwt import BWTResult
 from .suffix import (
     _doubling_jax,
-    _segmented_suffix_hashes_np,
     _HB1,
     _HB2,
+    segmented_suffix_hashes_jax,
 )
 from ..constants import EndOfDict, EndOfWord
 
@@ -44,7 +44,7 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
 
 @partial(jax.jit, static_argnames=("w", "nsuf_b", "total_b"))
 def _assemble_device(
-    dict_flat, occs, bwlast, ilist, bwsai, h1, h2, nsuf_true, total_true,
+    dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int
 ):
     D = dict_flat.shape[0]
@@ -64,6 +64,9 @@ def _assemble_device(
     sep_idx = jnp.where(is_sep, iota, D)
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - iota
+    # suffix-equality hashes, fully in HBM (no host round-trip)
+    h1 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB1)
+    h2 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB2)
     # keep suffixes longer than w, in lexicographic order
     kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
     sa_kept = sa_all[kept_idx]
@@ -141,13 +144,6 @@ def assemble_bwt_jax(
     dwords = int(occs.shape[0])
     nsuf = int((D - 1 - dwords) - dwords * w)
     total = n + 1
-    # host: exact mod-2**64 polynomial suffix hashes (two passes over dict)
-    is_sep = dict_flat <= 1
-    sep_pos = np.flatnonzero(is_sep)
-    next_sep = sep_pos[np.searchsorted(sep_pos, np.arange(D))]
-    suf_len_np = next_sep - np.arange(D)
-    h1 = _segmented_suffix_hashes_np(dict_flat, suf_len_np, _HB1)
-    h2 = _segmented_suffix_hashes_np(dict_flat, suf_len_np, _HB2)
     if bwsai is None:
         bwsai = np.zeros(ilist.shape[0], dtype=np.uint64)
 
@@ -170,8 +166,6 @@ def assemble_bwt_jax(
         jnp.asarray(pad(np.asarray(bwlast, dtype=np.uint8), m_b)),
         jnp.asarray(pad(np.asarray(ilist, dtype=np.int64), m_b)),
         jnp.asarray(pad(np.asarray(bwsai, dtype=np.uint64), m_b)),
-        jnp.asarray(pad(h1, D_b)),
-        jnp.asarray(pad(h2, D_b)),
         jnp.int64(nsuf),
         jnp.int64(total),
         w,

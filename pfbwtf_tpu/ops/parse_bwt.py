@@ -40,6 +40,92 @@ class ParseBWT:
     bwt_sym: np.ndarray  # parse-BWT symbols (phrase ranks, 0 = EOS), n+1
 
 
+_pb_jit = None
+
+
+def bwt_of_parse_device(
+    parse_ranks: np.ndarray,
+    last: np.ndarray,
+    sai: np.ndarray,
+    get_sai: bool = True,
+) -> ParseBWT:
+    """Fully on-device parse-BWT: doubling SA + wrap-gather permutes +
+    stable-argsort ilist in one jit.  Inputs are padded to a bucket grid
+    with a strictly descending sentinel tail placed AFTER the terminator
+    (sentinels exceed every rank, so every padded suffix sorts after every
+    real suffix and the true SA occupies the first n+1 slots unchanged)."""
+    global _pb_jit
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from .suffix import _doubling_jax
+
+    if _pb_jit is None:
+
+        @partial(jax.jit, static_argnames=())
+        def pb(ranks_p, last_p, sai_p, n):
+            m = ranks_p.shape[0]  # bucketed; true length n <= m
+            idx = jnp.arange(m + 1, dtype=jnp.int64)
+            big = jnp.int64(np.iinfo(np.int64).max // 2)
+            seq = jnp.where(
+                idx < n,
+                ranks_p[jnp.clip(idx, 0, m - 1)],
+                jnp.where(idx == n, 0, big - idx),
+            )
+            SA, _ = _doubling_jax(seq)
+            zero = SA == 0
+            bwlast = jnp.where(
+                zero, jnp.uint8(0), last_p[jnp.clip((SA - 2) % n, 0, m - 1)]
+            )
+            bwsai = jnp.where(
+                zero,
+                jnp.uint64(0),
+                sai_p[jnp.clip((SA - 1) % n, 0, m - 1)],
+            )
+            sym = jnp.where(
+                zero, 0, ranks_p[jnp.clip((SA - 1) % n, 0, m - 1)]
+            )
+            sym = sym.at[0].set(ranks_p[jnp.clip(n - 1, 0, m - 1)])
+            # padded rows (positions n+1..m in SA order) must sort last
+            valid = idx <= n
+            sym = jnp.where(valid, sym, big)
+            ilist = jnp.argsort(sym, stable=True)
+            return bwlast, ilist, bwsai, sym
+
+        _pb_jit = pb
+
+    parse_ranks = np.asarray(parse_ranks, dtype=np.int64)
+    n = parse_ranks.shape[0]
+    if n == 1:
+        die("error: only one dict word total. Re-run with a smaller p modulus")
+    n_b = max(4096, 1 << int(np.ceil(np.log2(max(n, 2)))))
+
+    def pad(a, dtype, fill=0):
+        out = np.full(n_b, fill, dtype=dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    sai = np.asarray(sai, dtype=np.uint64)
+    if sai.shape[0] == 0:
+        sai = np.zeros(n, dtype=np.uint64)
+    bwlast, ilist, bwsai, sym = _pb_jit(
+        pad(parse_ranks, np.int64),
+        pad(np.asarray(last, dtype=np.uint8), np.uint8),
+        pad(sai, np.uint64),
+        np.int64(n),
+    )
+    bwlast = np.asarray(bwlast)[: n + 1].astype(np.uint8)
+    ilist = np.asarray(ilist)[: n + 1].astype(np.int64)
+    sym = np.asarray(sym)[: n + 1].astype(np.int64)
+    bwsai = (
+        np.asarray(bwsai)[: n + 1].astype(np.uint64)
+        if get_sai
+        else np.zeros(0, dtype=np.uint64)
+    )
+    return ParseBWT(bwlast=bwlast, ilist=ilist, bwsai=bwsai, bwt_sym=sym)
+
+
 def bwt_of_parse(
     parse_ranks: np.ndarray,
     last: np.ndarray,

@@ -124,6 +124,25 @@ def _segmented_suffix_hashes_np(dict_flat: np.ndarray, suf_len: np.ndarray, base
     return (G[idx] - G[idx + suf_len]) * inv_powers
 
 
+def segmented_suffix_hashes_jax(dict_flat, suf_len, base: int):
+    """Device version of _segmented_suffix_hashes_np: the same two
+    cumulative passes (uint64 wraps mod 2**64 in XLA exactly as in numpy),
+    so the dict->assembly chain needs no host hash round-trip."""
+    c = dict_flat.astype(jnp.uint64)
+    D = c.shape[0]
+    b = jnp.full(D, np.uint64(base), dtype=jnp.uint64).at[0].set(1)
+    powers = jnp.cumprod(b)
+    terms = c * powers
+    G = jnp.concatenate(
+        (jnp.cumsum(terms[::-1])[::-1], jnp.zeros(1, jnp.uint64))
+    )
+    inv = np.uint64(pow(int(base), -1, 1 << 64))
+    binv = jnp.full(D, inv, dtype=jnp.uint64).at[0].set(1)
+    inv_powers = jnp.cumprod(binv)
+    idx = jnp.arange(D)
+    return (G[idx] - G[idx + suf_len]) * inv_powers
+
+
 def suffix_group_ids_np(dict_flat, sa_kept, suf_len, verify: bool = True):
     """Group ids (0-based, ascending in sorted order) for equal suffix strings.
 

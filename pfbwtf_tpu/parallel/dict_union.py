@@ -230,13 +230,67 @@ def device_rank_rows(cols: np.ndarray) -> np.ndarray:
     return np.asarray(_local_rank_jit(padded))[:N]
 
 
+_text_rank_jit = None
+
+
 def dedup_rank_device(T: np.ndarray, starts, ends):
-    """On-device phrase dedup+rank (keeps the dict build in HBM between
-    the scan and the suffix stages — the device-resident pipeline path)."""
+    """On-device phrase dedup+rank: ONE jit gathers the 8-byte chunk rows
+    straight out of the text in HBM, lex-sorts them, and emits dense
+    1-based ranks — no host-side row materialization (the device-resident
+    pipeline path).  Shapes are bucketed for compile reuse."""
+    global _text_rank_jit
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    if _text_rank_jit is None:
+
+        @partial(jax.jit, static_argnames=("ncols",))
+        def text_rank(Tp, starts_p, lens_p, valid, ncols):
+            Nb = starts_p.shape[0]
+            tmax = Tp.shape[0] - 1
+            cols = []
+            for j in range(ncols):
+                val = jnp.zeros(Nb, dtype=jnp.uint64)
+                for b in range(8):
+                    off = 8 * j + b
+                    idx = jnp.minimum(starts_p + off, tmax)
+                    ch = Tp[idx].astype(jnp.uint64)
+                    ok = off < lens_p
+                    val = (val << jnp.uint64(8)) | jnp.where(ok, ch, 0)
+                cols.append(jnp.where(valid, val, _U64MAX))
+            c = jnp.stack(cols, axis=1)
+            order = jnp.lexsort(
+                tuple(c[:, j] for j in range(ncols - 1, -1, -1))
+            )
+            s = c[order]
+            head = jnp.concatenate(
+                (jnp.ones(1, bool), jnp.any(s[1:] != s[:-1], axis=1))
+            )
+            gid = jnp.cumsum(head.astype(jnp.int64))  # 1-based
+            return jnp.zeros(Nb, jnp.int64).at[order].set(gid)
+
+        _text_rank_jit = text_rank
+
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
-    cols = phrase_chunk_rows(T, starts, ends)
-    ranks = device_rank_rows(cols)
+    lens = ends - starts + 1
+    N = starts.shape[0]
+    ncols = max(1, -(-int(lens.max(initial=1)) // 8))
+    ncols_b = -(-ncols // 4) * 4
+    Nb = _round_up(max(N, 1), 4096)
+    Tb_len = _round_up(T.shape[0] + 1, 1 << 16)
+    Tp = np.zeros(Tb_len, dtype=np.uint8)
+    Tp[: T.shape[0]] = T
+    starts_p = np.zeros(Nb, dtype=np.int64)
+    starts_p[:N] = starts
+    lens_p = np.zeros(Nb, dtype=np.int64)
+    lens_p[:N] = lens
+    valid = np.zeros(Nb, dtype=bool)
+    valid[:N] = True
+    ranks = np.asarray(
+        _text_rank_jit(Tp, starts_p, lens_p, valid, ncols_b)
+    )[:N]
     return _dict_from_ranks(T, starts, ends, ranks)
 
 

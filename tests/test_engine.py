@@ -72,3 +72,20 @@ def test_assemble_jax_no_sa(parsed):
         None, res.n, backend="numpy"
     )
     assert np.array_equal(a.bwt, b.bwt)
+
+
+def test_bwt_of_parse_device_matches_host(rng):
+    """The single-jit device parse-BWT (sentinel-padded doubling SA +
+    wrap gathers + stable-argsort ilist) equals the host construction."""
+    from pfbwtf_tpu.ops.parse_bwt import bwt_of_parse, bwt_of_parse_device
+
+    for n, k in ((1000, 50), (4097, 7), (17, 5)):
+        ranks = rng.integers(1, k + 1, size=n).astype(np.int64)
+        last = rng.integers(0, 256, size=n).astype(np.uint8)
+        sai = rng.integers(0, 1 << 40, size=n).astype(np.uint64)
+        h = bwt_of_parse(ranks, last, sai)
+        d = bwt_of_parse_device(ranks, last, sai)
+        assert np.array_equal(h.bwlast, d.bwlast), n
+        assert np.array_equal(h.ilist, d.ilist), n
+        assert np.array_equal(h.bwsai, d.bwsai), n
+        assert np.array_equal(h.bwt_sym, d.bwt_sym), n
