@@ -30,7 +30,14 @@ def main(argv=None):
     ap.add_argument("--wsize", default=10, type=int)
     ap.add_argument("--mod", default=10, type=int)
     ap.add_argument("--u32", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="device-resident pipeline (scan, dict sort, "
+                         "parse-BWT, assembly, SA->MA on the accelerator)")
     args = ap.parse_args(argv)
+    if args.device:
+        from ..engine import enable_device_pipeline
+
+        enable_device_pipeline()
 
     samples = None
     if args.samples:

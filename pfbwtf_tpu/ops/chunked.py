@@ -115,29 +115,87 @@ def chunked_cut_positions(
     return np.concatenate(cuts)
 
 
-def parse_fasta_chunked(fname: str, params, chunk: int = 1 << 24):
-    """Bounded-HBM parse: per-record code stream -> chunked device scan ->
-    ordinary finalize.  Identical output to engine.parse_fasta."""
-    from ..io.fasta import read_fasta_bytes
-    from .parse import build_stream, finalize_parse, phrase_bounds_from_cuts
+def parse_fasta_chunked(fname: str, params, chunk: int = 1 << 24,
+                        workdir=None):
+    """Bounded-memory parse (the -m mmap-mode analogue, end to end):
 
-    records = read_fasta_bytes(fname)
-    C, doc_names, doc_starts = build_stream(records, params)
-    codes = NTOA_TABLE[C]
-    if codes.max(initial=0) > 3:
-        die("invalid character in input (use --non-acgt-to-a)")
+    * FASTA records stream one at a time (io/fasta.iter_fasta_records);
+      only the current record is resident.
+    * T' = Dollar + C + Dollar*w is written to a scratch file as the
+      stream passes and re-opened as a read-only memmap — the dict
+      dedup/rank reads phrase bytes through page faults, never holding
+      the text in RAM.
+    * the cut scan runs on device in fixed ``chunk``-size pieces with a
+      carried halo (double-buffered dispatch).
 
-    def pieces():
-        yield codes
+    Identical output to engine.parse_fasta for any chunk size.
+    """
+    import os as _os
+    import tempfile
 
-    cuts = chunked_cut_positions(pieces(), params.w, params.p, chunk)
-    starts, ends = phrase_bounds_from_cuts(C.shape[0], cuts, params.w)
-    return finalize_parse(
-        C,
-        starts,
-        ends,
-        params,
-        doc_names=doc_names if params.store_docs else [],
-        doc_starts=doc_starts if params.store_docs else [],
-        nseqs=len(records),
-    )
+    from ..constants import Dollar
+    from ..utils.tables import NT4_TABLE, UPPER_TABLE
+    from .parse import ParseResult, _dedup_and_rank, phrase_bounds_from_cuts
+
+    w = params.w
+    fd, tpath = tempfile.mkstemp(suffix=".tprime", dir=workdir)
+    tf = _os.fdopen(fd, "wb")
+    doc_names: List[str] = []
+    doc_starts: List[int] = []
+    state = {"nseqs": 0, "clen": 0}
+    padA = np.full(w, ord("A"), dtype=np.uint8)
+
+    def code_pieces():
+        tf.write(bytes([Dollar]))
+        from ..io.fasta import iter_fasta_records
+
+        for name, seq in iter_fasta_records(fname):
+            seq = UPPER_TABLE[seq]
+            if params.non_acgt_to_a:
+                seq = np.where(NT4_TABLE[seq] > 3, np.uint8(ord("A")), seq)
+            doc_names.append(name)
+            doc_starts.append(state["clen"])
+            state["nseqs"] += 1
+            state["clen"] += seq.shape[0] + w
+            tf.write(seq.tobytes())
+            tf.write(padA.tobytes())
+            codes = NTOA_TABLE[seq]
+            if codes.size and codes.max() > 3:
+                bad = seq[codes > 3][0]
+                die(f"invalid character {bad}/{chr(bad)} in input "
+                    "(use --non-acgt-to-a)")
+            yield codes
+            yield np.zeros(w, dtype=np.uint8)  # the 'A' pad hashes as 0s
+        tf.write(bytes([Dollar]) * w)
+        tf.flush()
+
+    try:
+        cuts = chunked_cut_positions(code_pieces(), w, params.p, chunk)
+        tf.close()
+        C_len = state["clen"]
+        starts, ends = phrase_bounds_from_cuts(C_len, cuts, w)
+        if starts.shape[0] == 1:
+            die("error: only one dict word total. Re-run with a smaller p "
+                "modulus")
+        T = np.memmap(tpath, dtype=np.uint8, mode="r")
+        phrases, occs, parse_ranks = _dedup_and_rank(T, starts, ends)
+        last = np.asarray(T[ends - w])
+        sai = ends.astype(np.uint64)
+        res = ParseResult(
+            params=params,
+            phrases=phrases,
+            occs=occs,
+            parse_ranks=parse_ranks,
+            last=last,
+            sai=sai,
+            doc_names=doc_names if params.store_docs else [],
+            doc_starts=doc_starts if params.store_docs else [],
+            pos=C_len + w,
+            nseqs=state["nseqs"],
+        )
+        del T
+        return res
+    finally:
+        if not tf.closed:
+            tf.close()
+        _os.unlink(tpath)

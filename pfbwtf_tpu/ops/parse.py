@@ -192,9 +192,10 @@ def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
             ranks, D = rank_substrings_native(T, starts64, lens)
             occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
             uniq, first = np.unique(ranks, return_index=True)
-            Tb = T.tobytes()
+            # per-slice tobytes keeps this memmap-friendly (no full copy)
             phrases = [
-                Tb[starts64[i] : starts64[i] + lens[i]] for i in first
+                T[starts64[i] : starts64[i] + lens[i]].tobytes()
+                for i in first
             ]
             return phrases, occs, ranks.astype(np.uint32)
     except Exception:
@@ -224,9 +225,9 @@ def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     rank_of_group[word_order] = np.arange(1, D + 1)
     parse_ranks = rank_of_group[gid].astype(np.uint32)
     occs = counts[word_order].astype(np.uint64)
-    Tb = T.tobytes()
     phrases = [
-        Tb[rep_starts[i] : rep_starts[i] + rep_lens[i]] for i in word_order
+        T[rep_starts[i] : rep_starts[i] + rep_lens[i]].tobytes()
+        for i in word_order
     ]
     return phrases, occs, parse_ranks
 

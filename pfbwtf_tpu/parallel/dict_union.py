@@ -174,9 +174,10 @@ def _dict_from_ranks(T: np.ndarray, starts, ends, ranks: np.ndarray):
     D = int(ranks.max(initial=0))
     occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
     _, first = np.unique(ranks, return_index=True)
-    Tb = T.tobytes()
     lens = ends - starts + 1
-    phrases = [bytes(Tb[starts[i]: starts[i] + lens[i]]) for i in first]
+    phrases = [
+        T[starts[i]: starts[i] + lens[i]].tobytes() for i in first
+    ]
     return phrases, occs, ranks.astype(np.uint32)
 
 

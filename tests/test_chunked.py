@@ -40,3 +40,49 @@ def test_parse_fasta_chunked_equals_whole(rng):
     assert np.array_equal(chunked.parse_ranks, whole.parse_ranks)
     assert np.array_equal(chunked.occs, whole.occs)
     assert np.array_equal(chunked.sai, whole.sai)
+
+
+def test_iter_fasta_records_matches_slurp(tmp_path, rng):
+    """Streaming record iterator == slurp reader, including tiny blocks
+    (boundary straddling), gzip input, CRLF and multi-line records."""
+    import gzip as _gzip
+
+    from pfbwtf_tpu.io.fasta import iter_fasta_records, read_fasta_bytes
+
+    seqs = ["".join(rng.choice(list("ACGT"), size=int(n)))
+            for n in rng.integers(10, 400, size=7)]
+    text = ""
+    for i, s in enumerate(seqs):
+        lines = [s[j:j + 37] for j in range(0, len(s), 37)]
+        text += f">rec{i} extra comment\r\n" + "\r\n".join(lines) + "\n"
+    fa = tmp_path / "s.fa"
+    fa.write_text(text)
+    gz = tmp_path / "s.fa.gz"
+    gz.write_bytes(_gzip.compress(text.encode()))
+
+    want = read_fasta_bytes(str(fa))
+    for path, block in ((fa, 64), (fa, 8 << 20), (gz, 128)):
+        got = list(iter_fasta_records(str(path), block=block))
+        assert [n for n, _ in got] == [n for n, _ in want]
+        for (gn, gs), (wn, ws) in zip(got, want):
+            assert np.array_equal(gs, ws), gn
+
+
+def test_streamed_parse_with_docs(tmp_path, rng):
+    from pfbwtf_tpu.ops.chunked import parse_fasta_chunked
+    from pfbwtf_tpu.ops.parse import ParserParams, parse_fasta
+
+    seq = "".join(rng.choice(list("ACGT"), size=9000))
+    fa = tmp_path / "d.fa"
+    fa.write_text(f">a\n{seq[:4000]}\n>b\n{seq[4000:]}\n")
+    params = ParserParams(w=6, p=11, get_sai=True, store_docs=True)
+    want = parse_fasta(str(fa), params)
+    got = parse_fasta_chunked(str(fa), params, chunk=1 << 12)
+    assert got.phrases == want.phrases
+    assert np.array_equal(got.occs, want.occs)
+    assert np.array_equal(got.parse_ranks, want.parse_ranks)
+    assert np.array_equal(got.last, want.last)
+    assert np.array_equal(got.sai, want.sai)
+    assert got.doc_names == want.doc_names
+    assert got.doc_starts == want.doc_starts
+    assert got.pos == want.pos and got.nseqs == want.nseqs
