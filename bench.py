@@ -26,7 +26,7 @@ SIZE_MB = int(os.environ.get("PFBWT_BENCH_MB", "16"))
 DEVICE_BUDGET_S = int(os.environ.get("PFBWT_BENCH_DEVICE_BUDGET", "420"))
 W, P = 10, 100
 CACHE = f"/tmp/pfbwtf_tpu_bench_{SIZE_MB}mb"
-LOOP_ITERS = 4
+LOOP_ITERS = int(os.environ.get("PFBWT_BENCH_LOOP_ITERS", "4"))
 
 
 class _Timeout(Exception):

@@ -133,3 +133,30 @@ def test_pfbwt_sharded_and_chunked_flags(rng):
         assert (
             open(f"{base}.sa", "rb").read() == open(f"{out}.sa", "rb").read()
         )
+
+
+def test_pfbwt_device_flag(rng):
+    """--device (device-resident pipeline) produces byte-identical outputs
+    to the host path.  The flag sets PFBWT_* env vars process-wide, so
+    snapshot/restore them to keep other tests on their default backends."""
+    envs = ("PFBWT_BACKEND", "PFBWT_DICT_IMPL",
+            "PFBWT_ASSEMBLE_BACKEND", "PFBWT_MA_BACKEND")
+    snapshot = {v: os.environ.get(v) for v in envs}
+    fa = random_fasta(tmp_prefix("dv") + ".fa", rng, nrecords=2, length=900)
+    base, dev = tmp_prefix("dvb"), tmp_prefix("dvd")
+    try:
+        for v in envs:
+            os.environ.pop(v, None)
+        assert pfbwt_f.main([fa, "-o", base, "-s", "-r", "-p", "10"]) == 0
+        assert pfbwt_f.main([fa, "-o", dev, "-s", "-r", "-p", "10",
+                             "--device"]) == 0
+    finally:
+        for v, val in snapshot.items():
+            if val is None:
+                os.environ.pop(v, None)
+            else:
+                os.environ[v] = val
+    for ext in (".bwt", ".sa", ".ssa", ".esa"):
+        assert (
+            open(base + ext, "rb").read() == open(dev + ext, "rb").read()
+        ), ext
