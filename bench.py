@@ -58,12 +58,14 @@ def bench_device_scan(codes):
     import jax
     import jax.numpy as jnp
 
-    from pfbwtf_tpu.ops.hash import hash_scan_jax
+    from pfbwtf_tpu.engine import _cut_mask_device
+
+    impl = os.environ.get("PFBWT_BENCH_SCAN_IMPL", "xla").lower()
 
     def step(c):
         def body(i, acc):
             cc = c.at[0].set((i % 4).astype(c.dtype))
-            _, cut = hash_scan_jax(cc, W, P)
+            cut = _cut_mask_device(cc, W, P, impl)
             return acc + jnp.sum(cut.astype(jnp.int64))
 
         return jax.lax.fori_loop(0, LOOP_ITERS, body, jnp.int64(0))

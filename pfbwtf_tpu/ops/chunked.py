@@ -16,7 +16,6 @@ from typing import Iterable, List
 
 import numpy as np
 
-from ..constants import MAX_W
 from ..utils.errors import die
 from ..utils.tables import NTOA_TABLE
 

@@ -86,9 +86,10 @@ def _kernel(hbm_ref, out_ref, scratch, sem, *, w: int, p: int, blk: int):
     klo = jnp.zeros((1, blk), jnp.uint32)
     khi = jnp.zeros((1, blk), jnp.uint32)
     # char t steps back occupies k-mer bits [2t, 2t+2); 2-bit chars never
-    # straddle the 32-bit boundary
+    # straddle the 32-bit boundary.  Static slices (offsets are Python
+    # constants) — lax.dynamic_slice is not lowerable in Pallas TC kernels.
     for t in range(w):
-        c = jax.lax.dynamic_slice(ext, (0, HALO - t), (1, blk))
+        c = ext[:, HALO - t: HALO - t + blk]
         if 2 * t < 32:
             klo = klo | (c << (2 * t))
         else:

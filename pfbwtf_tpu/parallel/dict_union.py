@@ -31,7 +31,7 @@ is the longest phrase (expected ~p+w chars; p bounds the tail).
 """
 
 from functools import partial
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -24,7 +24,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..io.fasta import fetch_contig, write_fai
+from ..io.fasta import fetch_contig
 from ..markers.mps import MarkerPositionsWriter
 from .reader import VCF
 
