@@ -123,6 +123,12 @@ def hash_scan_pallas(codes: np.ndarray, w: int, p: int, blk: int = 1 << 19,
                      interpret: bool = False) -> np.ndarray:
     """Cut mask for a code array (values 0..3).  Positions < w are masked
     off by the caller-visible contract (k >= w), handled here."""
+    import sys
+
+    # Mosaic lowering recurses per jaxpr equation; the unrolled u32-pair
+    # Wang arithmetic overflows CPython's default 1000-frame limit
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
     assert w <= HALO and p < (1 << 15)
     n = codes.shape[0]
     n_blocks = -(-n // blk)
