@@ -105,11 +105,11 @@ def _cut_mask_device(c, w: int, p: int, scan_impl: str):
     if scan_impl == "pallas":
         # bucketed input lengths are multiples of 2**16 == the kernel
         # block, so no tail handling is needed
-        from .ops.pallas.hash_scan import _scan as pallas_scan, HALO
+        from .ops.pallas.hash_scan import _scan as pallas_scan, LEAD
 
         blk = 1 << 16
-        padded2 = jnp.pad(c, (HALO, 0))[None, :]
-        m = pallas_scan(padded2, w, p, blk, False)[0].astype(bool)
+        padded = jnp.pad(c, (LEAD, 0))
+        m = pallas_scan(padded, w, p, blk, False)[: c.shape[0]].astype(bool)
         idx = jnp.arange(c.shape[0], dtype=jnp.int64)
         return m & (idx >= w)
     _, cut = hash_scan_jax(c, w, p)
