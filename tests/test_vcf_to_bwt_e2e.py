@@ -85,3 +85,32 @@ def test_mult_chroms_indels(ma):
     assert np.count_nonzero(bwt == 0) == 1
     # SA must be a permutation of 0..n
     assert np.array_equal(np.sort(sa), np.arange(int(n) + 1, dtype=np.uint64))
+
+
+def test_vcf_to_bwt_device_flag_truth_parity():
+    """vcf_to_bwt --device (device-resident pipeline) against the
+    committed truth files; env snapshot/restore keeps other tests on
+    default backends."""
+    envs = ("PFBWT_BACKEND", "PFBWT_DICT_IMPL",
+            "PFBWT_ASSEMBLE_BACKEND", "PFBWT_MA_BACKEND")
+    snapshot = {v: os.environ.get(v) for v in envs}
+    try:
+        for v in envs:
+            os.environ.pop(v, None)
+        from pfbwtf_tpu.cli import vcf_to_bwt as cli
+
+        import shutil
+
+        out = tmp_prefix("devma")
+        fa = out + ".input.fa"
+        shutil.copy(f"{DATA}/single_chrom.fa", fa)
+        rc = cli.main([fa, f"{DATA}/single_chrom.vcf.gz", "-o", out,
+                       "-s", "-m", "--ma_wsize", "1", "--device"])
+        assert rc == 0
+        _diff_truth(out, "single_chrom")
+    finally:
+        for v, val in snapshot.items():
+            if val is None:
+                os.environ.pop(v, None)
+            else:
+                os.environ[v] = val
