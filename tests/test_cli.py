@@ -160,3 +160,16 @@ def test_pfbwt_device_flag(rng):
         assert (
             open(base + ext, "rb").read() == open(dev + ext, "rb").read()
         ), ext
+
+
+def test_dump_intfile(tmp_path, capsys):
+    from pfbwtf_tpu.cli import dump_intfile
+
+    f32 = tmp_path / "x.u32"
+    f32.write_bytes(np.array([1, 2, 70000], np.uint32).tobytes())
+    assert dump_intfile.main([str(f32)]) == 0
+    assert capsys.readouterr().out == "1\n2\n70000\n"
+    f64 = tmp_path / "x.u64"
+    f64.write_bytes(np.array([1 << 40, 7], np.uint64).tobytes())
+    assert dump_intfile.main([str(f64), "-l"]) == 0
+    assert capsys.readouterr().out == f"{1 << 40}\n7\n"
