@@ -40,17 +40,16 @@ def chunked_cut_positions(
     @partial(jax.jit, static_argnames=("w", "p", "size"))
     def scan_chunk(ext_codes, offset, w, p, size):
         # ext_codes: (halo + chunk,) — positions halo..halo+chunk-1 are live
-        km = jnp.zeros(chunk, dtype=jnp.uint64)
-        c = ext_codes.astype(jnp.uint64)
-        for t in range(w):
-            km = km | (
-                jax.lax.dynamic_slice(c, (halo - t,), (chunk,)) << (2 * t)
-            )
-        from .hash import wang_hash_jax
+        from .hash import mod_p_u64_via_u32, wang_hash_jax, window_kmers_jax
 
+        km = window_kmers_jax(ext_codes, w)[halo:]
         h = wang_hash_jax(km)
         gpos = offset + jnp.arange(chunk, dtype=jnp.int64)
-        cut = ((h % jnp.uint64(p)) == 0) & (gpos >= w)
+        if p < (1 << 15):
+            hit = mod_p_u64_via_u32(h, p) == 0
+        else:
+            hit = (h % jnp.uint64(p)) == 0
+        cut = hit & (gpos >= w)
         count = jnp.sum(cut.astype(jnp.int64))
         pos = jnp.nonzero(cut, size=size, fill_value=-1)[0]
         return count, pos

@@ -90,12 +90,31 @@ def wang_hash_jax(key):
 
 def window_kmers_jax(codes, w: int):
     n = codes.shape[0]
-    c = codes.astype(jnp.uint64)
-    km = jnp.zeros(n, dtype=jnp.uint64)
+    # the k-mer register fits 32 bits for w <= 16 (the default w=10 case):
+    # build it in uint32 — half the emulated-64-bit shift/or traffic —
+    # and widen once for the Wang mix
+    dt = jnp.uint32 if 2 * w <= 32 else jnp.uint64
+    c = codes.astype(dt)
+    km = jnp.zeros(n, dtype=dt)
     for t in range(w):
-        shifted = jnp.pad(c[: n - t], (t, 0)) << (2 * t)
+        shifted = jnp.pad(c[: n - t], (t, 0)) << dt(2 * t)
         km = km | shifted
-    return km
+    return km.astype(jnp.uint64)
+
+
+def mod_p_u64_via_u32(h, p: int):
+    """h mod p for uint64 h and constant p < 2**15, in uint32 arithmetic.
+
+    (hi % p) * (2**32 % p) + (lo % p) fits u32 (< p**2 + p <= 2**30), so
+    the whole reduction runs as 32-bit mod-by-constant — which XLA
+    strength-reduces to magic multiplies — instead of an emulated 64-bit
+    long division (the scan's hottest op after the Wang mix).
+    """
+    hi = (h >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = h.astype(jnp.uint32)
+    p32 = jnp.uint32(p)
+    fold = jnp.uint32((1 << 32) % p)
+    return ((hi % p32) * fold + lo % p32) % p32
 
 
 def hash_scan_jax(codes, w: int, p: int, start_offset=0):
@@ -112,5 +131,9 @@ def hash_scan_jax(codes, w: int, p: int, start_offset=0):
     km = window_kmers_jax(codes, w)
     h = wang_hash_jax(km)
     idx = jnp.arange(codes.shape[0], dtype=jnp.int64) + start_offset
-    cut = ((h % jnp.uint64(p)) == 0) & (idx >= w)
+    if p < (1 << 15):
+        hit = mod_p_u64_via_u32(h, p) == 0
+    else:
+        hit = (h % jnp.uint64(p)) == 0
+    cut = hit & (idx >= w)
     return h, cut

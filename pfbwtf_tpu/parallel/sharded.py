@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.hash import wang_hash_jax
+from ..ops.hash import mod_p_u64_via_u32, wang_hash_jax, window_kmers_jax
 
 
 def make_parse_mesh(devices=None, axis: str = "dp") -> Mesh:
@@ -51,14 +51,17 @@ def _shard_parse_block(codes_blk, w: int, p: int, shard_len: int, axis: str):
         tail, axis, [(i, (i + 1) % n_sh) for i in range(n_sh)]
     )
     ext = jnp.concatenate((prev_tail, codes))  # (halo + shard_len,)
-    # windowed 2-bit pack: newest char in low bits
-    km = jnp.zeros(shard_len, dtype=jnp.uint64)
-    c = ext.astype(jnp.uint64)
-    for t in range(w):
-        km = km | (jax.lax.dynamic_slice(c, (halo - t,), (shard_len,)) << (2 * t))
+    # windowed 2-bit pack + Wang mix + u32-fold mod (ops/hash.py); the
+    # shared kmer builder zero-pads its warm-up, which the true halo in
+    # ext overrides for every live position
+    km = window_kmers_jax(ext, w)[halo:]
     h = wang_hash_jax(km)
     gpos = idx * shard_len + jnp.arange(shard_len, dtype=jnp.int64)
-    cut = ((h % jnp.uint64(p)) == 0) & (gpos >= w)
+    if p < (1 << 15):
+        hit = mod_p_u64_via_u32(h, p) == 0
+    else:
+        hit = (h % jnp.uint64(p)) == 0
+    cut = hit & (gpos >= w)
     nphrases = jnp.sum(cut.astype(jnp.int64))
     total = jax.lax.psum(nphrases, axis)
     return cut[None, :], total[None]
@@ -114,10 +117,7 @@ def _shard_phrase_sketch(codes_blk, w: int, p: int, shard_len: int,
         tail, axis, [(i, (i + 1) % n_sh) for i in range(n_sh)]
     )
     ext = jnp.concatenate((prev_tail, codes))
-    km = jnp.zeros(shard_len, dtype=jnp.uint64)
-    c = ext.astype(jnp.uint64)
-    for t in range(w):
-        km = km | (jax.lax.dynamic_slice(c, (halo - t,), (shard_len,)) << (2 * t))
+    km = window_kmers_jax(ext, w)[halo:]
     h = wang_hash_jax(km)
     nbuckets = 1 << sketch_bits
     bucket = (h >> jnp.uint64(40)).astype(jnp.int64) % nbuckets
