@@ -43,3 +43,14 @@ DEFAULT_P = 100
 # Window size is capped because the rolling k-mer is 2-bit packed into a
 # uint64 (pfparser.hpp:371-376, hash.hpp:26-27).
 MAX_W = 32
+
+# Size limits, with the reference's exact semantics:
+# * 32-bit build: text <= 2^32-1 chars (pfparser.hpp:326-331) and parse
+#   <= 2^31-2 phrases (pfparser.hpp:393-398);
+# * 64-bit build: parse <= 2^32-2 phrases — a hard limit because parse
+#   ranks are int_text == uint32 in both builds (pfparser.hpp:399-405,
+#   gsacak.h:64).
+# Module-level so tests can patch them down to reachable values.
+MAX_TEXT_32 = 0xFFFFFFFF
+MAX_PHRASES_32 = 0x7FFFFFFE
+MAX_PHRASES_64 = 0xFFFFFFFE

@@ -175,13 +175,20 @@ def parse_fasta_chunked(fname: str, params, chunk: int = 1 << 24,
         if starts.shape[0] == 1:
             die("error: only one dict word total. Re-run with a smaller p "
                 "modulus")
+        from ..utils.limits import check_phrase_count
+
+        check_phrase_count(starts.shape[0])
         T = np.memmap(tpath, dtype=np.uint8, mode="r")
-        phrases, occs, parse_ranks = _dedup_and_rank(T, starts, ends)
+        dict_starts, dict_lens, occs, parse_ranks = _dedup_and_rank(
+            T, starts, ends
+        )
         last = np.asarray(T[ends - w])
         sai = ends.astype(np.uint64)
         res = ParseResult(
             params=params,
-            phrases=phrases,
+            text=T,
+            dict_starts=dict_starts,
+            dict_lens=dict_lens,
             occs=occs,
             parse_ranks=parse_ranks,
             last=last,
@@ -191,7 +198,6 @@ def parse_fasta_chunked(fname: str, params, chunk: int = 1 << 24,
             pos=C_len + w,
             nseqs=state["nseqs"],
         )
-        del T
         return res
     finally:
         if not tf.closed:

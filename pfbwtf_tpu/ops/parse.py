@@ -29,8 +29,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..constants import Dollar, DEFAULT_P, DEFAULT_W, MAX_W
+from ..constants import Dollar, DEFAULT_P, DEFAULT_W, EndOfDict, EndOfWord, MAX_W
 from ..utils.errors import die
+from ..utils.limits import check_phrase_count
 from ..utils.tables import NT4_TABLE, UPPER_TABLE
 from . import hash as hash_ops
 
@@ -54,10 +55,20 @@ class ParserParams:
 
 @dataclass
 class ParseResult:
-    """Finalized parse: dictionary + occurrence metadata."""
+    """Finalized parse: dictionary + occurrence metadata.
+
+    The dictionary is a FLAT view — (text, dict_starts, dict_lens) — never a
+    Python list of phrase objects: at genome scale the dictionary has tens of
+    millions of words, and the reference's per-phrase std::map node
+    (pfparser.hpp:604-605) is exactly the cost this representation avoids.
+    ``text`` is T' (Dollar + C + Dollar*w) and may be a read-only memmap
+    (the chunked / out-of-core path), so phrase bytes are paged on demand.
+    """
 
     params: ParserParams
-    phrases: List[bytes]  # byte-lex sorted unique phrases
+    text: np.ndarray  # T', uint8 (possibly memmap)
+    dict_starts: np.ndarray  # int64 word start in text, byte-lex dict order
+    dict_lens: np.ndarray  # int64 word length, dict order
     occs: np.ndarray  # per-phrase occurrence counts, dict order
     parse_ranks: np.ndarray  # 1-based ranks, text order (uint32)
     last: np.ndarray  # uint8, per occurrence
@@ -72,6 +83,39 @@ class ParseResult:
         """Text length incl. per-record 'A' pads, excl. Dollar sentinels
         (pfparser.hpp:529-532)."""
         return self.pos - self.params.w if self.pos >= self.params.w else 0
+
+    @property
+    def phrases(self) -> List[bytes]:
+        """Materialized phrase list (compat / test convenience only — O(D)
+        Python objects; production paths use the flat view)."""
+        s, l = self.dict_starts, self.dict_lens
+        return [self.text[s[i] : s[i] + l[i]].tobytes() for i in range(len(s))]
+
+    def iter_dict_chunks(self, chunk_words: int = 1 << 20):
+        """Yield the .dict byte stream (sorted words + EndOfWord each, then
+        EndOfDict) as bounded uint8 slabs — the streaming .dict writer
+        (pfbwt_io.hpp:71-82 semantics) with O(1) Python objects."""
+        starts = np.asarray(self.dict_starts, dtype=np.int64)
+        lens = np.asarray(self.dict_lens, dtype=np.int64)
+        D = starts.shape[0]
+        for lo in range(0, D, chunk_words):
+            s = starts[lo : lo + chunk_words]
+            l = lens[lo : lo + chunk_words]
+            bounds = np.cumsum(l + 1)
+            out_len = int(bounds[-1])
+            idx = np.arange(out_len, dtype=np.int64)
+            word = np.searchsorted(bounds, idx, side="right")
+            wstart = bounds - (l + 1)
+            within = idx - wstart[word]
+            src = s[word] + np.minimum(within, np.maximum(l[word] - 1, 0))
+            out = np.asarray(self.text[src], dtype=np.uint8)
+            out[bounds - 1] = EndOfWord
+            yield out
+        yield np.array([EndOfDict], dtype=np.uint8)
+
+    def dict_flat(self) -> np.ndarray:
+        """The .dict byte array (separators included), built vectorized."""
+        return np.concatenate(list(self.iter_dict_chunks()))
 
 
 def normalize_records(
@@ -175,7 +219,9 @@ def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     (len, 128-bit substring hash) dedup + chunked radix word sort in numpy.
     PFBWT_DICT_IMPL=jax selects the on-device chunk-row sort instead
     (parallel/dict_union.device_rank_rows) — the device-resident pipeline
-    option.  Returns (sorted phrase list, occs, 1-based rank/occurrence).
+    option.  Returns (dict_starts, dict_lens, occs, 1-based rank/occurrence):
+    the dictionary stays a flat (start, len) view into T, never a Python
+    phrase list.
     """
     import os
 
@@ -191,13 +237,13 @@ def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
             starts64 = np.asarray(starts, dtype=np.int64)
             ranks, D = rank_substrings_native(T, starts64, lens)
             occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
-            uniq, first = np.unique(ranks, return_index=True)
-            # per-slice tobytes keeps this memmap-friendly (no full copy)
-            phrases = [
-                T[starts64[i] : starts64[i] + lens[i]].tobytes()
-                for i in first
-            ]
-            return phrases, occs, ranks.astype(np.uint32)
+            _, first = np.unique(ranks, return_index=True)
+            return (
+                starts64[first],
+                lens[first],
+                occs,
+                ranks.astype(np.uint32),
+            )
     except Exception:
         pass
     h1 = _substring_hashes(T, starts, lens, _HB1)
@@ -225,11 +271,7 @@ def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     rank_of_group[word_order] = np.arange(1, D + 1)
     parse_ranks = rank_of_group[gid].astype(np.uint32)
     occs = counts[word_order].astype(np.uint64)
-    phrases = [
-        T[rep_starts[i] : rep_starts[i] + rep_lens[i]].tobytes()
-        for i in word_order
-    ]
-    return phrases, occs, parse_ranks
+    return rep_starts[word_order], rep_lens[word_order], occs, parse_ranks
 
 
 def _pack8(T: np.ndarray, starts, off: int, lens) -> np.ndarray:
@@ -299,13 +341,16 @@ def finalize_parse(
     nphrases = starts.shape[0]
     if nphrases == 1:
         die("error: only one dict word total. Re-run with a smaller p modulus")
-    phrases, occs, parse_ranks = _dedup_and_rank(T, starts, ends)
+    check_phrase_count(nphrases)
+    dict_starts, dict_lens, occs, parse_ranks = _dedup_and_rank(T, starts, ends)
     last = T[ends - w]
     sai = ends.astype(np.uint64)
     pos = C.shape[0] + w  # == |T'| - 1
     return ParseResult(
         params=params,
-        phrases=phrases,
+        text=T,
+        dict_starts=dict_starts,
+        dict_lens=dict_lens,
         occs=occs,
         parse_ranks=parse_ranks,
         last=last,

@@ -169,24 +169,22 @@ def phrase_chunk_rows(T: np.ndarray, starts, ends) -> np.ndarray:
 
 
 def _dict_from_ranks(T: np.ndarray, starts, ends, ranks: np.ndarray):
-    """Host tail shared by the distributed and local device paths: dict
-    phrase list + occurrence counts from per-occurrence 1-based ranks."""
+    """Host tail shared by the distributed and local device paths: flat
+    (start, len) dict view + occurrence counts from 1-based ranks."""
     D = int(ranks.max(initial=0))
     occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
     _, first = np.unique(ranks, return_index=True)
-    lens = ends - starts + 1
-    phrases = [
-        T[starts[i]: starts[i] + lens[i]].tobytes() for i in first
-    ]
-    return phrases, occs, ranks.astype(np.uint32)
+    lens = (ends - starts + 1).astype(np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    return starts[first], lens[first], occs, ranks.astype(np.uint32)
 
 
 def distributed_dedup_rank(T: np.ndarray, starts, ends, mesh,
                            axis: str = "dp"):
     """Collective phrase dedup + byte-lex ranking.
 
-    Returns (phrases, occs, parse_ranks) with identical semantics to
-    ops.parse._dedup_and_rank (and therefore pfparser.hpp:484-517).
+    Returns (dict_starts, dict_lens, occs, parse_ranks) with identical
+    semantics to ops.parse._dedup_and_rank (pfparser.hpp:484-517).
     """
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
@@ -316,15 +314,20 @@ def distributed_parse_records(records, params: ParserParams, mesh,
     if starts.shape[0] == 1:
         die("error: only one dict word total. Re-run with a smaller p "
             "modulus")
+    from ..utils.limits import check_phrase_count
+
+    check_phrase_count(starts.shape[0])
     T = _tprime(C, params.w)
-    phrases, occs, parse_ranks = distributed_dedup_rank(
+    dict_starts, dict_lens, occs, parse_ranks = distributed_dedup_rank(
         T, starts, ends, mesh, axis
     )
     last = T[ends - params.w]
     sai = ends.astype(np.uint64)
     return ParseResult(
         params=params,
-        phrases=phrases,
+        text=T,
+        dict_starts=dict_starts,
+        dict_lens=dict_lens,
         occs=occs,
         parse_ranks=parse_ranks,
         last=last,

@@ -40,18 +40,36 @@ from ..utils.errors import die
 
 def reconstruct_text(prefix: str, w: int):
     """Rebuild the char stream C of a saved (finalized) parse from its
-    .dict + .parse files, plus doc info if present."""
-    phrases = formats.read_dict(prefix + ".dict")
+    .dict + .parse files, plus doc info if present.
+
+    Fully vectorized: word (start, len) views come from the separator
+    positions of the flat .dict bytes, and the per-occurrence char gather is
+    one repeat + fancy-index — no per-phrase Python objects (the parse has
+    tens of millions of occurrences at genome scale)."""
+    flat = formats.read_dict_flat(prefix + ".dict")
     ranks = formats.read_parse_ranks(prefix + ".parse")
     if ranks.size == 0:
         die(f"{prefix}: empty parse")
-    parts = [phrases[int(ranks[0]) - 1]]
-    for r in ranks[1:]:
-        parts.append(phrases[int(r) - 1][w:])
-    joined = b"".join(parts)
+    from ..constants import EndOfWord
+
+    eow = np.flatnonzero(flat == EndOfWord)
+    word_start = np.concatenate(([0], eow[:-1] + 1)).astype(np.int64)
+    word_len = eow - word_start
+    occ = ranks.astype(np.int64) - 1
+    # occurrence j > 0 skips the w-char overlap with its predecessor
+    skip = np.zeros(occ.shape[0], dtype=np.int64)
+    skip[1:] = w
+    src0 = word_start[occ] + skip
+    lens = word_len[occ] - skip
+    bounds = np.cumsum(lens)
+    total = int(bounds[-1])
+    idx = np.arange(total, dtype=np.int64)
+    which = np.searchsorted(bounds, idx, side="right")
+    within = idx - (bounds[which] - lens[which])
+    joined = flat[src0[which] + within]
     # strip the leading Dollar and trailing w Dollars
     assert joined[0] == Dollar and joined[-1] == Dollar
-    C = np.frombuffer(joined, dtype=np.uint8)[1:-w]
+    C = joined[1:-w]
     doc_names: List[str] = []
     doc_starts: List[int] = []
     if os.path.exists(prefix + ".docs"):

@@ -16,6 +16,7 @@ import numpy as np
 from . import engine
 from .constants import EndOfDict, EndOfWord, EXT
 from .io import formats
+from .utils.limits import check_phrase_count, check_text_width
 from .utils.timer import task_timer
 from .ops.parse import ParseResult, ParserParams
 
@@ -28,8 +29,18 @@ def dict_flat_from_phrases(phrases) -> np.ndarray:
 
 
 def save_parser(res: ParseResult, prefix: str, dtype=U64):
-    """save_parser equivalent (pfbwt_io.hpp:234-249)."""
-    formats.write_dict(prefix + "." + EXT.DICT, res.phrases)
+    """save_parser equivalent (pfbwt_io.hpp:234-249).
+
+    The .dict writer streams bounded slabs straight from the flat
+    (text, starts, lens) dictionary view — no per-phrase Python objects.
+    Guards the output width before narrowing (pfparser.hpp:326-331,
+    393-405 semantics).
+    """
+    check_text_width(res.n, dtype)
+    check_phrase_count(res.parse_ranks.shape[0], dtype)
+    with open(prefix + "." + EXT.DICT, "wb") as f:
+        for slab in res.iter_dict_chunks():
+            f.write(slab.tobytes())
     formats.write_occ(prefix + "." + EXT.OCC, res.occs, dtype)
     formats.write_parse_ranks(prefix + "." + EXT.PARSE, res.parse_ranks)
     if res.params.store_docs:
@@ -98,6 +109,7 @@ def run_pfbwt(cfg: PfbwtConfig, n: Optional[int] = None):
     )
     if n is None:
         n = formats.read_n(prefix + "." + EXT.N)
+    check_text_width(n, cfg.dtype)
     with task_timer(
         "generating final BWT w/ full and/or run-length SA"
         if any_sa

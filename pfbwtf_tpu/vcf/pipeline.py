@@ -28,7 +28,7 @@ from ..markers.mps import write_mps_runs, read_mps_runs
 from ..markers.rle_window import RleWindowArray
 from .. import engine
 from ..ops.parse import ParserParams
-from ..pipeline import dict_flat_from_phrases, save_parse_bwt, save_parser
+from ..pipeline import save_parse_bwt, save_parser
 from ..utils.timer import task_timer
 from .reader import VCF, merge_vcfs
 from .scan import ScanResult, scan_vcf_sample, write_scan_outputs
@@ -120,7 +120,7 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
     want_sa_vals = cfg.sa or cfg.ma
     with task_timer("generating final BWT"):
         bwt_res = engine.assemble_bwt(
-            dict_flat_from_phrases(res.phrases),
+            res.dict_flat(),
             cfg.wsize,
             res.occs.astype(np.int64),
             pb.bwlast,
