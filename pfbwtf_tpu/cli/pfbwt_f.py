@@ -50,6 +50,10 @@ def build_argparser():
     ap.add_argument("--device", action="store_true",
                     help="device-resident pipeline: run scan, dict sort, "
                          "parse-BWT and assembly on the accelerator")
+    ap.add_argument("--fused", action="store_true",
+                    help="HBM-chained whole-pipeline device run: chars -> "
+                         ".bwt/.sa with no host hops between stages (writes "
+                         "final outputs only, no checkpoint files)")
     ap.add_argument("--mesh", action="store_true",
                     help="parse collectively on the local device mesh "
                          "(halo-exchange scan + all_to_all dictionary "
@@ -85,6 +89,8 @@ def main(argv=None):
     output = args.output or args.fasta
     dtype = formats.U32 if args.u32 else formats.U64
     try:
+        if args.fused:
+            return _run_fused(args, output, dtype)
         n = None
         if not args.pfbwt_only:
             print("running parser...", file=sys.stderr)
@@ -144,6 +150,50 @@ def main(argv=None):
     except PfbwtError as e:
         print(str(e), file=sys.stderr)
         return 1
+    return 0
+
+
+def _run_fused(args, output: str, dtype) -> int:
+    """Whole-pipeline device run (ops/fused.py): .bwt/.sa[/.ssa/.esa] out."""
+    from ..io.fasta import read_fasta_bytes
+    from ..ops.fused import pfbwt_fused_records
+    from ..utils.limits import check_text_width
+    from ..utils.timer import task_timer
+
+    params = ParserParams(
+        w=args.w, p=args.p, non_acgt_to_a=args.non_acgt_to_a,
+        verbose=args.verbose,
+    )
+    with task_timer("fused device pipeline (parse+pfbwt)"):
+        res, _ = pfbwt_fused_records(
+            read_fasta_bytes(args.fasta), params,
+            want_sa=args.sa, want_rssa=args.rssa, sa_dtype=dtype,
+        )
+    n = res.bwt.shape[0] - 1
+    check_text_width(n, dtype)
+    bwt_fp = (
+        sys.stdout.buffer if args.stdout_ext == "bwt"
+        else open(output + ".bwt", "wb")
+    )
+    bwt_fp.write(res.bwt.tobytes())
+    if bwt_fp is not sys.stdout.buffer:
+        bwt_fp.close()
+    if args.sa:
+        sa_fp = (
+            sys.stdout.buffer if args.stdout_ext == "sa"
+            else open(output + ".sa", "wb")
+        )
+        sa_fp.write(res.sa.astype(dtype).tobytes())
+        if sa_fp is not sys.stdout.buffer:
+            sa_fp.close()
+    if args.rssa:
+        with open(output + ".ssa", "wb") as f:
+            f.write(res.ssa.astype(dtype).tobytes())
+        with open(output + ".esa", "wb") as f:
+            f.write(res.esa.astype(dtype).tobytes())
+    print(f"n: {n}", file=sys.stderr)
+    print(f"r: {res.nruns}", file=sys.stderr)
+    print(f"n/r: {n / res.nruns:.3f}", file=sys.stderr)
     return 0
 
 

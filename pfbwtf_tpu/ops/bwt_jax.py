@@ -42,11 +42,12 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
     return -(-n // step) * step
 
 
-@partial(jax.jit, static_argnames=("w", "nsuf_b", "total_b"))
-def _assemble_device(
+def assemble_core(
     dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int
 ):
+    """Traceable emission-sort assembly body — callable standalone (below)
+    or inlined into the fused whole-pipeline program (ops/fused.py)."""
     D = dict_flat.shape[0]
     dwords = occs.shape[0]
     iota = jnp.arange(D, dtype=jnp.int64)
@@ -124,6 +125,11 @@ def _assemble_device(
     ).astype(jnp.uint8)
     sa_vals = bwsai[j_ord] - ls[s_ord].astype(jnp.uint64)
     return bwtc, sa_vals
+
+
+_assemble_device = partial(jax.jit, static_argnames=("w", "nsuf_b", "total_b"))(
+    assemble_core
+)
 
 
 def assemble_bwt_jax(

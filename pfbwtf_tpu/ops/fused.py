@@ -1,0 +1,452 @@
+"""HBM-chained end-to-end pipeline: chars -> .bwt/.sa without host hops.
+
+The staged engine (engine.py) runs each stage as its own program with host
+round-trips between (Python phrase metadata, re-pad, re-upload).  This module
+chains the WHOLE construction — cut scan -> phrase bounds -> dictionary
+dedup/rank -> parse-BWT -> emission-sort assembly — through three device
+programs whose intermediates never leave HBM:
+
+  J1 sizing    one pass over the codes: #cuts + the longest phrase length
+               (two scalars to host; they pick the static bucket shapes).
+  J2 parse     cut compaction, phrase bounds, dictionary dedup by
+               (len, two 64-bit polynomial substring hashes), byte-lex
+               ranking of the unique representatives by early-exit chunk
+               refinement, per-occurrence metadata (rank/last/sai), and the
+               dict (start, len) view — all device arrays, kept in HBM.
+  J3 assemble  dict byte-array construction, generalized dict suffix sort,
+               parse-BWT (doubling SA + permutes), emission fan-out and the
+               final (suffix-group, ilist-pos) sort -> bwt chars + SA
+               samples.  Reuses parse_bwt_core / assemble_core.
+
+Covers run_parser + run_pfbwt of the reference in one chain
+(src/pfbwt-f.cpp:209-349) with only .bwt/.sa leaving HBM.  The byte-lex
+ranking matches pfparser.hpp:500-517 (strcmp dict order); dedup equality is
+(len, h1, h2) with two independent 64-bit hashes — the same contract as the
+host hash path (ops/parse._dedup_and_rank), cross-checked against the exact
+native-memcmp path in tests.
+
+Chunk refinement instead of one wide lexsort: phrases can be thousands of
+bytes (repetitive inputs), so a single sort keyed on ceil(maxlen/8) operands
+would build an enormous comparator.  Instead the unique reps are re-sorted
+by (current rank, next 8 bytes) in a lax.while_loop that exits as soon as
+all reps are distinguished — genomic dictionaries split within a few rounds
+because hash-chosen cut points decorrelate phrase prefixes.
+"""
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..constants import Dollar, EndOfDict, EndOfWord
+from ..utils.errors import die
+from ..utils.tables import NTOA_TABLE
+
+_U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_HB1 = np.uint64(0x9E3779B97F4A7C15)
+_HB2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bucket(n: int, floor: int = 1 << 12) -> int:
+    if n <= floor:
+        return floor
+    step = max(floor, 1 << (max(int(np.floor(np.log2(n))) - 3, 0)))
+    return -(-n // step) * step
+
+
+# --------------------------------------------------------------------------
+# J1: sizing scan
+# --------------------------------------------------------------------------
+
+
+def _sizing_core(chars_p, C_len, w: int, p: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .hash import hash_scan_jax
+
+    ntoa = jnp.asarray(NTOA_TABLE)
+    codes = ntoa[chars_p]
+    _, cut = hash_scan_jax(codes, w, p)
+    n_b = chars_p.shape[0]
+    idx = jnp.arange(n_b, dtype=jnp.int64)
+    cut = cut & (idx < C_len)
+    ncuts = jnp.sum(cut.astype(jnp.int64))
+    # longest phrase: for a cut at i with previous cut pc, len = i - pc + w
+    # (first phrase: i + 2); plus the final phrase C_len - last_cut + 2w - 1
+    # (whole T' = C_len + w + 1 when there are no cuts).  T'-coord algebra in
+    # ops/parse.phrase_bounds_from_cuts.
+    marked = jnp.where(cut, idx, jnp.int64(-1))
+    pc = jnp.concatenate(
+        (jnp.full(1, -1, jnp.int64), jax.lax.cummax(marked)[:-1])
+    )
+    len_at_cut = jnp.where(pc >= 0, idx - pc + w, idx + 2)
+    maxlen_cuts = jnp.max(jnp.where(cut, len_at_cut, 0))
+    last_cut = jnp.max(marked)
+    len_last = jnp.where(
+        last_cut >= 0, C_len - last_cut + 2 * w - 1, C_len + w + 1
+    )
+    return ncuts, jnp.maximum(maxlen_cuts, len_last)
+
+
+_sizing_jit = None
+
+
+# --------------------------------------------------------------------------
+# J2: parse + dictionary rank
+# --------------------------------------------------------------------------
+
+
+def _substring_hashes_dev(Tp, starts, lens, base: int):
+    """Polynomial hash of Tp[s:s+l] per (s,l), mod 2**64 (device version of
+    ops/parse._substring_hashes; uint64 wraps identically in XLA)."""
+    import jax.numpy as jnp
+
+    c = Tp.astype(jnp.uint64)
+    tb = c.shape[0]
+    b = jnp.full(tb, np.uint64(base), dtype=jnp.uint64).at[0].set(1)
+    powers = jnp.cumprod(b)
+    G = jnp.concatenate(
+        (jnp.cumsum((c * powers)[::-1])[::-1], jnp.zeros(1, jnp.uint64))
+    )
+    inv = np.uint64(pow(int(base), -1, 1 << 64))
+    binv = jnp.full(tb, inv, dtype=jnp.uint64).at[0].set(1)
+    inv_powers = jnp.cumprod(binv)
+    s = jnp.clip(starts, 0, tb - 1)
+    e = jnp.clip(starts + lens, 0, tb)
+    return (G[s] - G[e]) * inv_powers[s]
+
+
+def _chunk_at(Tp, rs, rl, valid, off):
+    """Big-endian 8-byte pack of Tp[rs+off : rs+off+8], zero-padded past the
+    phrase end; invalid lanes read U64MAX (sort last)."""
+    import jax.numpy as jnp
+
+    tb = Tp.shape[0]
+    val = jnp.zeros(rs.shape[0], dtype=jnp.uint64)
+    for b in range(8):
+        idx = jnp.clip(rs + off + b, 0, tb - 1)
+        ch = Tp[idx].astype(jnp.uint64)
+        ok = (off + b) < rl
+        val = (val << jnp.uint64(8)) | jnp.where(ok, ch, jnp.uint64(0))
+    return jnp.where(valid, val, _U64MAX)
+
+
+def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
+    """0-based byte-lex rank of each valid (start, len) rep; early-exit
+    chunk refinement (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    R = rs.shape[0]
+    inv = (~valid).astype(jnp.int64)
+
+    def ranks_and_done(order, k_rank, k_chunk):
+        # densify lexicographic (inv, rank, chunk) group ids; count the
+        # distinct groups among valid lanes (invalid lanes sort last, so a
+        # group is valid iff its head lane is valid)
+        i_s, r_s, c_s = inv[order], k_rank[order], k_chunk[order]
+        changed = jnp.concatenate(
+            (
+                jnp.zeros(1, jnp.int64),
+                (
+                    (i_s[1:] != i_s[:-1])
+                    | (r_s[1:] != r_s[:-1])
+                    | (c_s[1:] != c_s[:-1])
+                ).astype(jnp.int64),
+            )
+        )
+        nr = jnp.cumsum(changed)
+        rank = jnp.zeros(R, jnp.int64).at[order].set(nr)
+        head = changed.at[0].set(1)
+        ngroups = jnp.sum(jnp.where(valid[order], head, 0))
+        return rank, ngroups
+
+    c0 = _chunk_at(Tp, rs, rl, valid, 0)
+    order0 = jnp.lexsort((c0, inv))
+    rank, ngroups = ranks_and_done(order0, jnp.zeros(R, jnp.int64), c0)
+
+    def cond(carry):
+        rank, off, ngroups = carry
+        return (ngroups < D) & (off < maxlen)
+
+    def body(carry):
+        rank, off, _ = carry
+        c = _chunk_at(Tp, rs, rl, valid, off)
+        order = jnp.lexsort((c, rank, inv))
+        rank, ngroups = ranks_and_done(order, rank, c)
+        return rank, off + 8, ngroups
+
+    rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int64(8), ngroups))
+    return rank  # 0-based; invalid lanes share the top ranks
+
+
+def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
+    """Cut compaction + phrase bounds + dict dedup/rank + occurrence
+    metadata, all on device.  Returns the HBM-resident parse state."""
+    import jax
+    import jax.numpy as jnp
+
+    from .hash import hash_scan_jax
+
+    n_b = chars_p.shape[0]
+    ntoa = jnp.asarray(NTOA_TABLE)
+    codes = ntoa[chars_p]
+    _, cut = hash_scan_jax(codes, w, p)
+    sidx = jnp.arange(n_b, dtype=jnp.int64)
+    cut = cut & (sidx < C_len)
+
+    # T' = Dollar + C + Dollar*w  (chars_p pads beyond C_len become Dollar)
+    tb = n_b + w + 1
+    tidx = jnp.arange(tb, dtype=jnp.int64)
+    Tp = jnp.where(
+        (tidx == 0) | (tidx > C_len),
+        jnp.uint8(Dollar),
+        chars_p[jnp.clip(tidx - 1, 0, n_b - 1)],
+    )
+
+    cuts = jnp.nonzero(cut, size=nph_b, fill_value=n_b)[0]
+    k = jnp.arange(nph_b, dtype=jnp.int64)
+    valid = k <= ncuts  # nphrases = ncuts + 1
+    ends = jnp.where(k < ncuts, cuts + 1, C_len + w)
+    prev_end = jnp.concatenate((jnp.zeros(1, jnp.int64), ends[:-1]))
+    starts = jnp.where(k == 0, 0, prev_end - w + 1)
+    lens = jnp.where(valid, ends - starts + 1, 0)
+
+    # dedup by (len, h1, h2) — contract shared with the host hash path
+    h1 = jnp.where(valid, _substring_hashes_dev(Tp, starts, lens, _HB1), 0)
+    h2 = jnp.where(valid, _substring_hashes_dev(Tp, starts, lens, _HB2), 0)
+    key_l = jnp.where(valid, lens, jnp.int64(-1) - k)  # invalid: distinct
+    inv = (~valid).astype(jnp.int64)
+    order = jnp.lexsort((h2, h1, key_l, inv))
+    l_o, h1_o, h2_o, v_o = key_l[order], h1[order], h2[order], valid[order]
+    head = jnp.concatenate(
+        (
+            jnp.ones(1, bool),
+            (l_o[1:] != l_o[:-1])
+            | (h1_o[1:] != h1_o[:-1])
+            | (h2_o[1:] != h2_o[:-1]),
+        )
+    )
+    gid_sorted = jnp.cumsum(head.astype(jnp.int64)) - 1  # 0-based group id
+    D = jnp.sum((head & v_o).astype(jnp.int64))  # valid groups come first
+    gid = jnp.zeros(nph_b, jnp.int64).at[order].set(gid_sorted)
+    # representative (first-in-sorted) start/len per group: exactly one head
+    # per group, and non-head lanes contribute 0, so scatter-add == set
+    rep_start = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[gid_sorted]
+        .add(jnp.where(head, starts[order], 0), mode="drop")
+    )
+    rep_len = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[gid_sorted]
+        .add(jnp.where(head, lens[order], 0), mode="drop")
+    )
+
+    group_counts = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[gid]
+        .add(jnp.where(valid, 1, 0), mode="drop")
+    )
+
+    # byte-lex rank (0-based) of each group's rep
+    rep_valid = jnp.arange(nph_b, dtype=jnp.int64) < D
+    maxlen = jnp.max(lens)
+    lex = _rep_lex_ranks(Tp, rep_start, rep_len, rep_valid, D, maxlen)
+
+    # dict-order views: dict slot r <- group with lex rank r
+    inv_lex = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[jnp.clip(lex, 0, nph_b - 1)]
+        .add(jnp.arange(nph_b, dtype=jnp.int64) * rep_valid, mode="drop")
+    )
+    dict_start = rep_start[inv_lex] * rep_valid
+    dict_len = rep_len[inv_lex] * rep_valid
+    occs = group_counts[inv_lex] * rep_valid
+
+    # per-occurrence outputs
+    parse_ranks = jnp.where(valid, lex[jnp.clip(gid, 0, nph_b - 1)] + 1, 0)
+    last = jnp.where(
+        valid, Tp[jnp.clip(ends - w, 0, tb - 1)], jnp.uint8(0)
+    )
+    sai = jnp.where(valid, ends, 0).astype(jnp.uint64)
+    dict_total = jnp.sum(dict_len) + D + 1
+    return (
+        Tp,
+        parse_ranks,
+        occs,
+        dict_start,
+        dict_len,
+        last,
+        sai,
+        D,
+        dict_total,
+    )
+
+
+_parse_jits = {}
+
+
+# --------------------------------------------------------------------------
+# J3: dict bytes + parse-BWT + assembly
+# --------------------------------------------------------------------------
+
+
+def _final_core(
+    Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+    nphrases, D, dict_total, nsuf_true, total_true,
+    w: int, dict_b: int, nsuf_b: int, total_b: int,
+):
+    import jax.numpy as jnp
+
+    from .bwt_jax import assemble_core
+    from .parse_bwt import parse_bwt_core
+
+    nph_b = parse_ranks.shape[0]
+    tb = Tp.shape[0]
+    r = jnp.arange(nph_b, dtype=jnp.int64)
+    # dict byte array: word r spans [bounds[r]-contrib[r], bounds[r]) with
+    # its EndOfWord at bounds[r]-1; EndOfDict terminator + zero pads after
+    contrib = jnp.where(r < D, dict_len + 1, 0)
+    bounds = jnp.cumsum(contrib)
+    pidx = jnp.arange(dict_b, dtype=jnp.int64)
+    word = jnp.clip(
+        jnp.searchsorted(bounds, pidx, side="right"), 0, nph_b - 1
+    )
+    wstart = bounds[word] - contrib[word]
+    within = pidx - wstart
+    ch = jnp.where(
+        within < dict_len[word],
+        Tp[jnp.clip(dict_start[word] + within, 0, tb - 1)],
+        jnp.uint8(EndOfWord),
+    )
+    dict_flat = jnp.where(pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))
+
+    bwlast, ilist, bwsai, _ = parse_bwt_core(
+        parse_ranks.astype(jnp.int64), last, sai, nphrases
+    )
+    bwtc, sa_vals = assemble_core(
+        dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
+        w, nsuf_b, total_b,
+    )
+    checksum = jnp.sum(bwtc.astype(jnp.uint64)) + jnp.sum(sa_vals)
+    return bwtc, sa_vals, checksum
+
+
+_final_jits = {}
+
+
+# --------------------------------------------------------------------------
+# host driver
+# --------------------------------------------------------------------------
+
+
+def pfbwt_fused_device(
+    C: np.ndarray,
+    w: int,
+    p: int,
+    want_sa: bool = False,
+    want_rssa: bool = False,
+    sa_dtype=np.uint64,
+    fetch: bool = True,
+):
+    """Whole-pipeline device run over the padded char stream C.
+
+    Returns ``(BWTResult, timings)`` when ``fetch`` (parity use), else
+    ``(device_arrays, checksum)`` with everything still in HBM (bench use:
+    only the checksum scalar is materialized to force completion).
+    """
+    global _sizing_jit
+    import jax
+    import jax.numpy as jnp
+
+    from .bwt import BWTResult
+
+    codes_chk = NTOA_TABLE[C]
+    if codes_chk.size and codes_chk.max() > 3:
+        bad = C[codes_chk > 3][0]
+        die(f"invalid character {bad}/{chr(bad)} in input "
+            "(use --non-acgt-to-a)")
+    del codes_chk
+
+    C_len = int(C.shape[0])
+    # n = text length incl. per-record pads, excl. Dollar sentinels
+    # (pfparser.hpp:529-532): C already carries the pads, so n == |C|
+    n = C_len
+    n_b = _bucket(max(C_len, 1), 1 << 16)
+    chars_p = np.full(n_b, ord("A"), dtype=np.uint8)
+    chars_p[:C_len] = C
+    dev_chars = jax.device_put(chars_p)
+
+    if _sizing_jit is None:
+        _sizing_jit = jax.jit(_sizing_core, static_argnames=("w", "p"))
+    ncuts_d, maxlen_d = _sizing_jit(dev_chars, jnp.int64(C_len), w=w, p=p)
+    ncuts = int(np.asarray(ncuts_d))
+    maxlen = int(np.asarray(maxlen_d))
+    if ncuts == 0:
+        die("error: only one dict word total. Re-run with a smaller p modulus")
+    nphrases = ncuts + 1
+    nph_b = _bucket(nphrases)
+
+    key2 = (nph_b, w, p)
+    if key2 not in _parse_jits:
+        _parse_jits[key2] = jax.jit(
+            partial(_parse_core, w=w, p=p, nph_b=nph_b)
+        )
+    state = _parse_jits[key2](dev_chars, jnp.int64(C_len), jnp.int64(ncuts))
+    (Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+     D_d, dict_total_d) = state
+    D = int(np.asarray(D_d))
+    dict_total = int(np.asarray(dict_total_d))
+
+    nsuf = (dict_total - 1 - D) - D * w
+    total = n + 1
+    dict_b = _bucket(dict_total)
+    nsuf_b = _bucket(nsuf)
+    total_b = _bucket(total)
+
+    key3 = (w, dict_b, nsuf_b, total_b, nph_b)
+    if key3 not in _final_jits:
+        _final_jits[key3] = jax.jit(
+            partial(
+                _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
+                total_b=total_b,
+            )
+        )
+    bwt_d, sa_d, checksum_d = _final_jits[key3](
+        Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+        jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
+        jnp.int64(nsuf), jnp.int64(total),
+    )
+    if not fetch:
+        return (bwt_d, sa_d), int(np.asarray(checksum_d))
+
+    bwtc = np.asarray(bwt_d)[:total]
+    run_start = np.empty(total, dtype=bool)
+    run_start[0] = True
+    np.not_equal(bwtc[1:], bwtc[:-1], out=run_start[1:])
+    nruns = int(np.count_nonzero(run_start))
+    sa_out = ssa = esa = None
+    if want_sa or want_rssa:
+        sa_np = np.array(sa_d)[:total]
+        sa_np[0] = np.uint64(n)
+        if want_rssa:
+            rs = np.flatnonzero(run_start)
+            re = np.concatenate((rs[1:] - 1, [total - 1]))
+            ssa = np.empty(2 * rs.shape[0], dtype=sa_dtype)
+            ssa[0::2] = rs.astype(sa_dtype)
+            ssa[1::2] = sa_np[rs].astype(sa_dtype)
+            esa = np.empty(2 * re.shape[0], dtype=sa_dtype)
+            esa[0::2] = re.astype(sa_dtype)
+            esa[1::2] = sa_np[re].astype(sa_dtype)
+        sa_out = sa_np if want_sa else None
+    return BWTResult(bwt=bwtc, sa=sa_out, nruns=nruns, ssa=ssa, esa=esa), None
+
+
+def pfbwt_fused_records(records, params, **kw):
+    """Fused run over FASTA records (build_stream + pfbwt_fused_device)."""
+    from .parse import build_stream
+
+    C, _, _ = build_stream(records, params)
+    return pfbwt_fused_device(C, params.w, params.p, **kw)

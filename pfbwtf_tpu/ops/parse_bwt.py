@@ -40,6 +40,45 @@ class ParseBWT:
     bwt_sym: np.ndarray  # parse-BWT symbols (phrase ranks, 0 = EOS), n+1
 
 
+def parse_bwt_core(ranks_p, last_p, sai_p, n):
+    """Traceable parse-BWT body: doubling SA + wrap-gather permutes +
+    stable-argsort ilist.  ``ranks_p`` is padded to a bucket grid; a
+    strictly descending sentinel tail is placed AFTER the terminator
+    (sentinels exceed every rank, so every padded suffix sorts after every
+    real suffix and the true SA occupies the first n+1 slots unchanged).
+    Reused by the standalone jit below and the fused program (ops/fused.py).
+    """
+    import jax.numpy as jnp
+
+    from .suffix import _doubling_jax
+
+    m = ranks_p.shape[0]  # bucketed; true length n <= m
+    idx = jnp.arange(m + 1, dtype=jnp.int64)
+    big = jnp.int64(np.iinfo(np.int64).max // 2)
+    seq = jnp.where(
+        idx < n,
+        ranks_p[jnp.clip(idx, 0, m - 1)],
+        jnp.where(idx == n, 0, big - idx),
+    )
+    SA, _ = _doubling_jax(seq)
+    zero = SA == 0
+    bwlast = jnp.where(
+        zero, jnp.uint8(0), last_p[jnp.clip((SA - 2) % n, 0, m - 1)]
+    )
+    bwsai = jnp.where(
+        zero,
+        jnp.uint64(0),
+        sai_p[jnp.clip((SA - 1) % n, 0, m - 1)],
+    )
+    sym = jnp.where(zero, 0, ranks_p[jnp.clip((SA - 1) % n, 0, m - 1)])
+    sym = sym.at[0].set(ranks_p[jnp.clip(n - 1, 0, m - 1)])
+    # padded rows (positions n+1..m in SA order) must sort last
+    valid = idx <= n
+    sym = jnp.where(valid, sym, big)
+    ilist = jnp.argsort(sym, stable=True)
+    return bwlast, ilist, bwsai, sym
+
+
 _pb_jit = None
 
 
@@ -49,51 +88,12 @@ def bwt_of_parse_device(
     sai: np.ndarray,
     get_sai: bool = True,
 ) -> ParseBWT:
-    """Fully on-device parse-BWT: doubling SA + wrap-gather permutes +
-    stable-argsort ilist in one jit.  Inputs are padded to a bucket grid
-    with a strictly descending sentinel tail placed AFTER the terminator
-    (sentinels exceed every rank, so every padded suffix sorts after every
-    real suffix and the true SA occupies the first n+1 slots unchanged)."""
+    """Fully on-device parse-BWT (see parse_bwt_core)."""
     global _pb_jit
     import jax
-    import jax.numpy as jnp
-    from functools import partial
-
-    from .suffix import _doubling_jax
 
     if _pb_jit is None:
-
-        @partial(jax.jit, static_argnames=())
-        def pb(ranks_p, last_p, sai_p, n):
-            m = ranks_p.shape[0]  # bucketed; true length n <= m
-            idx = jnp.arange(m + 1, dtype=jnp.int64)
-            big = jnp.int64(np.iinfo(np.int64).max // 2)
-            seq = jnp.where(
-                idx < n,
-                ranks_p[jnp.clip(idx, 0, m - 1)],
-                jnp.where(idx == n, 0, big - idx),
-            )
-            SA, _ = _doubling_jax(seq)
-            zero = SA == 0
-            bwlast = jnp.where(
-                zero, jnp.uint8(0), last_p[jnp.clip((SA - 2) % n, 0, m - 1)]
-            )
-            bwsai = jnp.where(
-                zero,
-                jnp.uint64(0),
-                sai_p[jnp.clip((SA - 1) % n, 0, m - 1)],
-            )
-            sym = jnp.where(
-                zero, 0, ranks_p[jnp.clip((SA - 1) % n, 0, m - 1)]
-            )
-            sym = sym.at[0].set(ranks_p[jnp.clip(n - 1, 0, m - 1)])
-            # padded rows (positions n+1..m in SA order) must sort last
-            valid = idx <= n
-            sym = jnp.where(valid, sym, big)
-            ilist = jnp.argsort(sym, stable=True)
-            return bwlast, ilist, bwsai, sym
-
-        _pb_jit = pb
+        _pb_jit = jax.jit(parse_bwt_core)
 
     parse_ranks = np.asarray(parse_ranks, dtype=np.int64)
     n = parse_ranks.shape[0]

@@ -1,0 +1,109 @@
+"""Fused HBM-chained pipeline vs the staged host path (which is itself
+byte-parity-proven against the reference binaries in test_bwt_parity.py).
+
+Every comparison covers .bwt bytes, full SA, run count, and the .ssa/.esa
+run-length samples.
+"""
+
+import numpy as np
+import pytest
+
+from pfbwtf_tpu.ops.bwt import assemble_bwt
+from pfbwtf_tpu.ops.fused import pfbwt_fused_records
+from pfbwtf_tpu.ops.parse import ParserParams, parse_records
+from pfbwtf_tpu.ops.parse_bwt import bwt_of_parse
+
+
+def _host_reference(records, w, p):
+    params = ParserParams(w=w, p=p, get_sai=True)
+    res = parse_records(records, params)
+    pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=True)
+    return assemble_bwt(
+        res.dict_flat(), w, res.occs.astype(np.int64), pb.bwlast,
+        pb.ilist, pb.bwsai, res.n, want_sa=True, want_rssa=True,
+    )
+
+
+def _check(records, w, p):
+    want = _host_reference(records, w, p)
+    got, _ = pfbwt_fused_records(
+        records, ParserParams(w=w, p=p), want_sa=True, want_rssa=True
+    )
+    assert got.bwt.tobytes() == want.bwt.tobytes()
+    assert np.array_equal(got.sa, want.sa)
+    assert got.nruns == want.nruns
+    assert np.array_equal(got.ssa, want.ssa)
+    assert np.array_equal(got.esa, want.esa)
+
+
+ACGT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def test_fused_random():
+    rng = np.random.default_rng(11)
+    seq = rng.choice(ACGT, size=6000)
+    _check([("s", seq)], w=4, p=10)
+
+
+def test_fused_multi_record():
+    rng = np.random.default_rng(12)
+    recs = [
+        ("a", rng.choice(ACGT, size=2500)),
+        ("b", rng.choice(ACGT, size=1700)),
+        ("c", rng.choice(ACGT, size=900)),
+    ]
+    _check(recs, w=4, p=8)
+
+
+def test_fused_repetitive():
+    """Repeats -> duplicate phrases, big ilists, HARD cases, long phrases."""
+    rng = np.random.default_rng(13)
+    unit = rng.choice(ACGT, size=800)
+    seq = np.tile(unit, 12)
+    muts = rng.integers(0, seq.size, size=30)
+    seq[muts] = ACGT[rng.integers(0, 4, size=30)]
+    _check([("r", seq)], w=4, p=12)
+
+
+def test_fused_default_params():
+    rng = np.random.default_rng(14)
+    seq = rng.choice(ACGT, size=30000)
+    _check([("s", seq)], w=10, p=100)
+
+
+def test_fused_bucketed_shapes_reused():
+    """Different sizes in the same bucket reuse compiled programs and stay
+    exact (padding independence)."""
+    rng = np.random.default_rng(15)
+    for size in (4000, 4100, 5000):
+        seq = rng.choice(ACGT, size=size)
+        _check([("s", seq)], w=4, p=10)
+
+
+def test_fused_single_phrase_dies():
+    from pfbwtf_tpu.utils.errors import PfbwtError
+
+    seq = np.full(50, ord("A"), np.uint8)
+    with pytest.raises(PfbwtError, match="smaller p"):
+        pfbwt_fused_records([("s", seq)], ParserParams(w=4, p=(1 << 20) - 1))
+
+
+def test_fused_nofetch_checksum():
+    rng = np.random.default_rng(16)
+    seq = rng.choice(ACGT, size=4000)
+    (bwt_d, sa_d), checksum = pfbwt_fused_records(
+        [("s", seq)], ParserParams(w=4, p=10), fetch=False
+    )
+    want = _host_reference([("s", seq)], 4, 10)
+    total = want.bwt.shape[0]
+    got_ck = int(np.asarray(bwt_d)[:total].astype(np.uint64).sum())
+    sa_got = np.asarray(sa_d)[:total].astype(np.uint64)
+    # checksum covers the padded buffers; recompute over true region + pads
+    full_ck = int(
+        np.asarray(bwt_d).astype(np.uint64).sum()
+        + np.asarray(sa_d).astype(np.uint64).sum()
+    ) & 0xFFFFFFFFFFFFFFFF
+    assert checksum == full_ck
+    assert got_ck == int(want.bwt.astype(np.uint64).sum())
+    # sa_d differs from want.sa only at index 0 (host writes n there)
+    assert np.array_equal(sa_got[1:], want.sa[1:])
