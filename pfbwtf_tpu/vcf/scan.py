@@ -25,7 +25,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..io.fasta import fetch_contig
-from ..markers.mps import MarkerPositionsWriter
+from ..markers.mps import BatchMarkerPositionsWriter
 from .reader import VCF
 
 
@@ -142,7 +142,9 @@ def scan_vcf_sample(
             "emission"
         )
     mps_buf = io.BytesIO()
-    writer = MarkerPositionsWriter(ma_wsize, mps_buf) if want_markers else None
+    writer = (
+        BatchMarkerPositionsWriter(ma_wsize, mps_buf) if want_markers else None
+    )
     out = ScanResult()
     seq_start = 0
     sample_idx = vcf.sample_index(sample) if not ref_only else -1

@@ -222,3 +222,105 @@ def test_write_marker_array_backend_jax(tmp_path, rng):
     write_marker_array(str(mps), sa, str(out_h))
     write_marker_array(str(mps), sa, str(out_d), backend="jax")
     assert out_h.read_bytes() == out_d.read_bytes()
+
+
+# -- batched .mps writer equivalence ------------------------------------------
+
+def _stream_bytes(wsize, markers):
+    import io
+
+    from pfbwtf_tpu.markers.mps import MarkerPositionsWriter
+
+    buf = io.BytesIO()
+    w = MarkerPositionsWriter(wsize, buf)
+    for pos, recpos, gt, seqid in markers:
+        w.update(pos, recpos, gt, seqid)
+    w.finish_sequence()
+    return buf.getvalue()
+
+
+def _batch_bytes(wsize, markers):
+    import io
+
+    from pfbwtf_tpu.markers.mps import BatchMarkerPositionsWriter
+
+    buf = io.BytesIO()
+    w = BatchMarkerPositionsWriter(wsize, buf)
+    for pos, recpos, gt, seqid in markers:
+        w.update(pos, recpos, gt, seqid)
+    w.finish_sequence()
+    return buf.getvalue()
+
+
+def test_batch_mps_writer_matches_streaming_fuzz():
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        wsize = int(rng.integers(1, 12))
+        n = int(rng.integers(0, 60))
+        # clustered nondecreasing positions to force window overlaps,
+        # duplicates, and gaps; occasional repeated (recpos, gt) to force
+        # equal-value dedup/coalescing paths
+        pos = np.cumsum(rng.integers(0, wsize + 3, size=n))
+        markers = []
+        for i in range(n):
+            recpos = int(rng.integers(0, 50))
+            gt = int(rng.integers(0, 3))
+            markers.append((int(pos[i]), recpos, gt, 0))
+        assert _batch_bytes(wsize, markers) == _stream_bytes(wsize, markers), (
+            f"trial {trial} wsize={wsize} markers={markers}"
+        )
+
+
+def test_batch_mps_writer_multi_sequence():
+    import io
+
+    from pfbwtf_tpu.markers.mps import (
+        BatchMarkerPositionsWriter,
+        MarkerPositionsWriter,
+    )
+
+    for cls_pair in [(MarkerPositionsWriter, BatchMarkerPositionsWriter)]:
+        bufs = []
+        for cls in cls_pair:
+            buf = io.BytesIO()
+            w = cls(4, buf)
+            w.update(5, 100, 1, 0)
+            w.update(7, 101, 2, 0)
+            w.finish_sequence()
+            w.update(3, 50, 0, 1)
+            w.finish_sequence()
+            bufs.append(buf.getvalue())
+        assert bufs[0] == bufs[1]
+
+
+def test_batch_mps_writer_multi_sequence_global_positions_fuzz():
+    """Positions are global along the haplotype stream and tpos carries
+    across finish_sequence (reference semantics); includes duplicate
+    positions, which route through the streaming fallback."""
+    import io
+
+    from pfbwtf_tpu.markers.mps import (
+        BatchMarkerPositionsWriter,
+        MarkerPositionsWriter,
+    )
+
+    for trial in range(30):
+        wsize = int(np.random.default_rng(1000 + trial).integers(1, 15))
+
+        def run(cls):
+            buf = io.BytesIO()
+            w = cls(wsize, buf)
+            p = 0
+            rng2 = np.random.default_rng(trial)
+            for seq in range(int(rng2.integers(1, 4))):
+                for _ in range(int(rng2.integers(0, 25))):
+                    lo = 0 if rng2.random() < 0.2 else 1
+                    p += int(rng2.integers(lo, wsize + 3))
+                    w.update(
+                        p, int(rng2.integers(0, 60)),
+                        int(rng2.integers(0, 3)), seq,
+                    )
+                w.finish_sequence()
+            return buf.getvalue()
+
+        assert run(MarkerPositionsWriter) == run(BatchMarkerPositionsWriter)
