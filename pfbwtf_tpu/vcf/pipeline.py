@@ -53,26 +53,48 @@ class VcfToBwtConfig:
     backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
 
 
+_SCAN_CTX = None  # (vcf, cfg) inherited by fork workers — no input pickling
+
+
+def _scan_one(task):
+    sample, hap, ref_only = task
+    vcf, cfg = _SCAN_CTX
+    return scan_vcf_sample(
+        vcf, cfg.fasta, sample, hap, w=cfg.wsize, ma_wsize=cfg.ma_wsize,
+        ref_only=ref_only, want_markers=cfg.ma,
+    )
+
+
 def vcf_to_bwt(cfg: VcfToBwtConfig):
+    global _SCAN_CTX
     write_fai(cfg.fasta)
     vcf = merge_vcfs(cfg.vcfs)
     samples = cfg.samples if cfg.samples else list(vcf.samples)
 
-    # scan ref + every haplotype (embarrassingly parallel across prefixes)
-    prefixes = []  # (prefix_name, ScanResult)
+    # scan ref + every haplotype — data-parallel across haplotypes via a
+    # fork process pool, the reference's mp.Pool (vcf_to_bwt.py:230-237);
+    # workers inherit the parsed columnar VCF copy-on-write
+    tasks = [("", 0, True)] + [
+        (sample, hap, False) for sample in samples for hap in (0, 1)
+    ]
+    names = [cfg.output + ".ref"] + [
+        f"{cfg.output}.{sample}.{hap}"
+        for sample in samples
+        for hap in (0, 1)
+    ]
+    _SCAN_CTX = (vcf, cfg)
     with task_timer("scanning VCF haplotypes"):
-        ref_scan = scan_vcf_sample(
-            vcf, cfg.fasta, "", 0, w=cfg.wsize, ma_wsize=cfg.ma_wsize,
-            ref_only=True, want_markers=cfg.ma,
-        )
-        prefixes.append((cfg.output + ".ref", ref_scan))
-        for sample in samples:
-            for hap in (0, 1):
-                scan = scan_vcf_sample(
-                    vcf, cfg.fasta, sample, hap, w=cfg.wsize,
-                    ma_wsize=cfg.ma_wsize, want_markers=cfg.ma,
-                )
-                prefixes.append((f"{cfg.output}.{sample}.{hap}", scan))
+        if cfg.threads > 1 and len(tasks) > 1:
+            import multiprocessing as mp
+
+            with mp.get_context("fork").Pool(
+                min(cfg.threads, len(tasks))
+            ) as pool:
+                scans = pool.map(_scan_one, tasks)
+        else:
+            scans = [_scan_one(t) for t in tasks]
+    _SCAN_CTX = None
+    prefixes = list(zip(names, scans))
 
     if cfg.save_fasta:
         for name, scan in prefixes:

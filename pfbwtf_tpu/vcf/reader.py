@@ -2,27 +2,170 @@
 
 The reference links htslib for VCF/BCF decoding (vcf_scanner.hpp:9-13).
 This environment has no htslib/pysam, so we parse the VCF text format
-directly; .vcf.gz (bgzip = concatenated gzip members) is handled by
-Python's zlib-backed gzip module.  Covers what the pipeline needs: header
-contigs (bcf_hdr_seqnames order), sample list, per-record alleles and GT.
+directly; .vcf.gz (bgzip = concatenated gzip members) streams through
+Python's zlib-backed gzip module.
+
+Scalability design (unlike htslib's record-at-a-time API, the pipeline
+scans the same VCF once per haplotype, so records are parsed ONCE and
+kept):
+
+* the file is parsed STREAMING — line iteration over the (de)compressing
+  reader, never materializing the decompressed text;
+* records are stored COLUMNAR per contig: positions as one int64 array,
+  genotypes as one (nrec, nsamples, 2) int16 matrix, allele/ID strings in
+  shared byte arenas with offset arrays — O(1) Python objects per contig
+  instead of O(records) — so a panel-scale VCF holds in a few bytes per
+  genotype;
+* ``records_for_contig`` yields lightweight per-record views for the
+  scanners (compat API).
 """
 
 import gzip
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Iterator, List, Optional
+
+import numpy as np
 
 
 @dataclass
 class VCFRecord:
+    """Per-record view over the columnar store (scan-time compat API)."""
+
     contig: str
     pos: int  # 0-based (like htslib rec->pos)
     vid: str
     alleles: List[str]  # [ref, alt1, alt2, ...]
-    gts: List[List[int]]  # per sample, per haplotype; -1 = missing
+    gts: "GTView"
 
     @property
     def n_allele(self) -> int:
         return len(self.alleles)
+
+
+class GTView:
+    """rec.gts[sample][hap] over one row of the GT matrix."""
+
+    __slots__ = ("_row",)
+
+    def __init__(self, row):
+        self._row = row
+
+    def __getitem__(self, sample_idx):
+        return self._row[sample_idx]
+
+    def __len__(self):
+        return self._row.shape[0]
+
+    def __bool__(self):
+        return self._row.size > 0
+
+
+class _ContigStore:
+    """Columnar record storage for one contig."""
+
+    __slots__ = (
+        "pos", "gts", "allele_arena", "allele_off", "allele_cnt",
+        "id_arena", "id_off",
+    )
+
+    def __init__(self, pos, gts, allele_arena, allele_off, allele_cnt,
+                 id_arena, id_off):
+        self.pos = pos  # (nrec,) int64
+        self.gts = gts  # (nrec, nsamples, 2) int16; -1 = missing
+        self.allele_arena = allele_arena  # bytes: alleles joined by ','
+        self.allele_off = allele_off  # (total_alleles+1,) int64 offsets
+        self.allele_cnt = allele_cnt  # (nrec+1,) int64 prefix counts
+        self.id_arena = id_arena
+        self.id_off = id_off  # (nrec+1,) int64
+
+    def __len__(self):
+        return self.pos.shape[0]
+
+    def alleles_of(self, i: int) -> List[str]:
+        a, b = self.allele_cnt[i], self.allele_cnt[i + 1]
+        return [
+            self.allele_arena[self.allele_off[j]: self.allele_off[j + 1]]
+            .decode()
+            for j in range(a, b)
+        ]
+
+    def id_of(self, i: int) -> str:
+        return self.id_arena[self.id_off[i]: self.id_off[i + 1]].decode()
+
+
+class _ContigBuilder:
+    __slots__ = ("pos", "gts", "alleles", "ids")
+
+    def __init__(self):
+        self.pos: List[int] = []
+        self.gts: List = []
+        self.alleles: List[bytes] = []  # per record: b"ref,alt1,..."
+        self.ids: List[bytes] = []
+
+    def finish(self, nsamples: int) -> _ContigStore:
+        nrec = len(self.pos)
+        pos = np.array(self.pos, dtype=np.int64)
+        gts = (
+            np.array(self.gts, dtype=np.int16).reshape(nrec, nsamples, 2)
+            if nrec
+            else np.zeros((0, nsamples, 2), dtype=np.int16)
+        )
+        cnt = np.zeros(nrec + 1, dtype=np.int64)
+        lens: List[int] = []
+        for i, rec_alleles in enumerate(self.alleles):
+            parts = rec_alleles.split(b",") if rec_alleles else []
+            cnt[i + 1] = cnt[i] + len(parts)
+            lens.extend(len(x) for x in parts)
+        arena = b"".join(
+            x for rec in self.alleles for x in rec.split(b",")
+        )
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(np.array(lens, dtype=np.int64), out=off[1:])
+        id_off = np.zeros(nrec + 1, dtype=np.int64)
+        np.cumsum(np.array([len(x) for x in self.ids], np.int64),
+                  out=id_off[1:])
+        return _ContigStore(
+            pos, gts, arena, off, cnt, b"".join(self.ids), id_off
+        )
+
+
+class _RecordSeq:
+    """Reiterable lazy record sequence over a contig's columnar store:
+    views are built per access, never stored."""
+
+    __slots__ = ("_contig", "_st")
+
+    def __init__(self, contig: str, st: Optional[_ContigStore]):
+        self._contig = contig
+        self._st = st
+
+    def __len__(self):
+        return len(self._st) if self._st is not None else 0
+
+    def __getitem__(self, i: int) -> VCFRecord:
+        st = self._st
+        if st is None or not (0 <= i < len(st)):
+            raise IndexError(i)
+        return VCFRecord(
+            self._contig,
+            int(st.pos[i]),
+            st.id_of(i),
+            st.alleles_of(i),
+            GTView(st.gts[i]),
+        )
+
+    def __iter__(self) -> Iterator[VCFRecord]:
+        for i in range(len(self)):
+            yield self[i]
+
+
+def _open_lines(fname: str):
+    """Streaming line iterator; transparent for bgzip/gzip inputs."""
+    with open(fname, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(fname, "rb")
+    return open(fname, "rb")
 
 
 class VCF:
@@ -30,69 +173,77 @@ class VCF:
         self.fname = fname
         self.contigs: List[str] = []  # header ##contig order
         self.samples: List[str] = []
-        self._records: Dict[str, List[VCFRecord]] = {}
+        self._store: dict = {}  # contig -> _ContigStore
         self._parse(fname)
 
-    def _open(self, fname: str):
-        raw = open(fname, "rb").read()
-        if raw[:2] == b"\x1f\x8b":
-            raw = gzip.decompress(raw)
-        return raw.decode("utf-8", "replace")
-
     def _parse(self, fname: str):
-        text = self._open(fname)
         contig_seen: List[str] = []
-        for line in text.splitlines():
-            if not line:
-                continue
-            if line.startswith("##"):
-                if line.startswith("##contig="):
-                    # ##contig=<ID=name,length=...>
-                    inner = line[len("##contig=<") :].rstrip(">")
-                    for fieldkv in inner.split(","):
-                        if fieldkv.startswith("ID="):
-                            self.contigs.append(fieldkv[3:])
-                continue
-            if line.startswith("#CHROM"):
-                cols = line.split("\t")
-                self.samples = cols[9:] if len(cols) > 9 else []
-                continue
-            cols = line.split("\t")
-            if len(cols) < 8:
-                continue
-            contig = cols[0]
-            pos = int(cols[1]) - 1
-            vid = cols[2]
-            ref = cols[3]
-            alts = cols[4].split(",") if cols[4] not in (".", "") else []
-            fmt = cols[8].split(":") if len(cols) > 8 else []
-            gt_idx = fmt.index("GT") if "GT" in fmt else -1
-            gts: List[List[int]] = []
-            for s in cols[9:]:
-                if gt_idx < 0:
-                    gts.append([-1, -1])
+        builders: dict = {}
+        with _open_lines(fname) as fp:
+            for raw in fp:
+                line = raw.rstrip(b"\n").rstrip(b"\r")
+                if not line:
                     continue
-                parts = s.split(":")
-                gt_str = parts[gt_idx] if gt_idx < len(parts) else "."
-                hap = []
-                for tok in gt_str.replace("|", "/").split("/"):
-                    try:
-                        hap.append(int(tok))
-                    except ValueError:
-                        hap.append(-1)
-                # haploid record: reuse the single value (vcf_scanner.hpp:34-36)
-                if len(hap) == 1:
-                    hap = [hap[0], hap[0]]
-                gts.append(hap)
-            rec = VCFRecord(contig, pos, vid, [ref] + alts, gts)
-            self._records.setdefault(contig, []).append(rec)
-            if contig not in contig_seen:
-                contig_seen.append(contig)
+                if line.startswith(b"##"):
+                    if line.startswith(b"##contig="):
+                        inner = line[len(b"##contig=<"):].rstrip(b">")
+                        for fieldkv in inner.split(b","):
+                            if fieldkv.startswith(b"ID="):
+                                self.contigs.append(fieldkv[3:].decode())
+                    continue
+                if line.startswith(b"#CHROM"):
+                    cols = line.split(b"\t")
+                    self.samples = (
+                        [c.decode() for c in cols[9:]]
+                        if len(cols) > 9
+                        else []
+                    )
+                    continue
+                cols = line.split(b"\t")
+                if len(cols) < 8:
+                    continue
+                contig = cols[0].decode()
+                b = builders.get(contig)
+                if b is None:
+                    b = builders[contig] = _ContigBuilder()
+                    contig_seen.append(contig)
+                b.pos.append(int(cols[1]) - 1)
+                b.ids.append(cols[2])
+                alts = cols[4] if cols[4] not in (b".", b"") else b""
+                b.alleles.append(cols[3] + b"," + alts if alts else cols[3])
+                fmt = cols[8].split(b":") if len(cols) > 8 else []
+                gt_idx = fmt.index(b"GT") if b"GT" in fmt else -1
+                row: List[int] = []
+                for s in cols[9:]:
+                    if gt_idx < 0:
+                        row.extend((-1, -1))
+                        continue
+                    parts = s.split(b":")
+                    gt_str = parts[gt_idx] if gt_idx < len(parts) else b"."
+                    hap = []
+                    for tok in gt_str.replace(b"|", b"/").split(b"/"):
+                        try:
+                            hap.append(int(tok))
+                        except ValueError:
+                            hap.append(-1)
+                    # haploid record: reuse the single value
+                    # (vcf_scanner.hpp:34-36)
+                    if len(hap) == 1:
+                        hap = [hap[0], hap[0]]
+                    row.extend(hap[:2])
+                b.gts.append(row)
+        nsamples = len(self.samples)
+        for contig, b in builders.items():
+            self._store[contig] = b.finish(nsamples)
         if not self.contigs:
             self.contigs = contig_seen
 
-    def records_for_contig(self, contig: str) -> List[VCFRecord]:
-        return self._records.get(contig, [])
+    def n_records(self, contig: str) -> int:
+        st = self._store.get(contig)
+        return len(st) if st is not None else 0
+
+    def records_for_contig(self, contig: str) -> "_RecordSeq":
+        return _RecordSeq(contig, self._store.get(contig))
 
     def contig_id(self, contig: str) -> int:
         """bcf_hdr_name2id equivalent: index in header contig order."""
@@ -104,18 +255,62 @@ class VCF:
 
 def merge_vcfs(fnames: List[str]) -> "VCF":
     """Multi-VCF support (the reference's synced reader takes a list;
-    tests use one file).  Records are concatenated per contig and sorted by
-    position; samples must agree or be disjoint per file."""
+    tests use one file).  Records are concatenated per contig and re-sorted
+    by position; samples must agree or be disjoint per file."""
     base = VCF(fnames[0])
-    for extra in fnames[1:]:
-        v = VCF(extra)
+    if len(fnames) == 1:
+        return base
+    extras = [VCF(f) for f in fnames[1:]]
+    for v in extras:
         for c in v.contigs:
             if c not in base.contigs:
                 base.contigs.append(c)
-            base._records.setdefault(c, []).extend(v.records_for_contig(c))
         for s in v.samples:
             if s not in base.samples:
                 base.samples.append(s)
-    for c in base._records:
-        base._records[c].sort(key=lambda r: r.pos)
+    nsamples = len(base.samples)
+    all_vcfs = [base] + extras
+
+    def pad_gts(v: "VCF", st: _ContigStore) -> np.ndarray:
+        """Expand st.gts to the merged sample axis (missing = -1)."""
+        out = np.full((len(st), nsamples, 2), -1, dtype=np.int16)
+        for j, s in enumerate(v.samples):
+            out[:, base.samples.index(s), :] = st.gts[:, j, :]
+        return out
+
+    merged: dict = {}
+    for c in base.contigs:
+        parts = [
+            (v, v._store[c]) for v in all_vcfs if c in v._store
+        ]
+        if not parts:
+            continue
+        pos = np.concatenate([st.pos for _, st in parts])
+        order = np.argsort(pos, kind="stable")
+        gts = np.concatenate([pad_gts(v, st) for v, st in parts])[order]
+        # rebuild arenas in sorted record order
+        alleles: List[bytes] = []
+        ids: List[bytes] = []
+        cnt_parts = []
+        for _, st in parts:
+            for i in range(len(st)):
+                a, b2 = st.allele_cnt[i], st.allele_cnt[i + 1]
+                cnt_parts.append(
+                    b",".join(
+                        st.allele_arena[
+                            st.allele_off[j]: st.allele_off[j + 1]
+                        ]
+                        for j in range(a, b2)
+                    )
+                )
+                ids.append(st.id_arena[st.id_off[i]: st.id_off[i + 1]])
+        bld = _ContigBuilder()
+        bld.pos = pos[order].tolist()
+        bld.alleles = [cnt_parts[i] for i in order]
+        bld.ids = [ids[i] for i in order]
+        bld.gts = []  # gts set directly below
+        st = bld.finish(0)
+        st.gts = gts
+        merged[c] = st
+    base._store = merged
     return base

@@ -2,9 +2,9 @@
 coordinator, the full multihost_parse flow (shard parse -> barrier ->
 merge on process 0), checked byte-identical against a direct parse.
 
-Opt-in (PFBWT_MULTIHOST_TEST=1): spawning subprocesses that bind ports is
-too flaky for default CI, but the harness itself must exist and work —
-run manually or in the scheduled suite.
+Runs in the default suite; port collisions (the historical flake) are
+handled by retrying with a fresh coordinator port.  Set
+PFBWT_MULTIHOST_TEST=0 to opt out in constrained sandboxes.
 """
 
 import os
@@ -16,8 +16,8 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("PFBWT_MULTIHOST_TEST", "") != "1",
-    reason="set PFBWT_MULTIHOST_TEST=1 to run the multi-process smoke",
+    os.environ.get("PFBWT_MULTIHOST_TEST", "1") == "0",
+    reason="PFBWT_MULTIHOST_TEST=0 opts out of the multi-process smoke",
 )
 
 _WORKER = r"""
@@ -42,15 +42,7 @@ def _free_port():
     return port
 
 
-def test_two_process_multihost_parse(tmp_path):
-    rng = np.random.default_rng(11)
-    seq = "".join(rng.choice(list("ACGT"), size=6000))
-    fa = tmp_path / "in.fa"
-    fa.write_text(
-        f">r1\n{seq[:3000]}\n>r2\n{seq[3000:]}\n"
-    )
-    out = str(tmp_path / "mh")
-    port = _free_port()
+def _spawn_workers(fa, out, port):
     env_base = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
@@ -70,9 +62,35 @@ def test_two_process_multihost_parse(tmp_path):
                 stderr=subprocess.PIPE,
             )
         )
+    errs = []
+    ok = True
     for pr in procs:
         _, err = pr.communicate(timeout=240)
-        assert pr.returncode == 0, err.decode()
+        errs.append(err.decode())
+        ok = ok and pr.returncode == 0
+    return ok, "\n".join(errs)
+
+
+def test_two_process_multihost_parse(tmp_path):
+    rng = np.random.default_rng(11)
+    seq = "".join(rng.choice(list("ACGT"), size=6000))
+    fa = tmp_path / "in.fa"
+    fa.write_text(
+        f">r1\n{seq[:3000]}\n>r2\n{seq[3000:]}\n"
+    )
+    out = str(tmp_path / "mh")
+    # retry on coordinator port collision (another process can grab the
+    # probed port between _free_port() and the bind)
+    for attempt in range(3):
+        ok, errs = _spawn_workers(fa, out, _free_port())
+        if ok:
+            break
+        retriable = "address already in use" in errs.lower() or (
+            "failed to connect" in errs.lower()
+        )
+        assert retriable, errs
+    else:
+        pytest.skip(f"coordinator port unavailable after 3 tries: {errs}")
 
     # oracle: direct single-process parse
     from pfbwtf_tpu.ops.parse import ParserParams, parse_fasta
