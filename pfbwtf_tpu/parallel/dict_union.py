@@ -48,50 +48,80 @@ from ..utils.errors import die
 _U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _agree_splitters(k0, valid, *, axis: str, n_dev: int, cap: int):
+    """n_dev-1 global splitters by regular sampling of the locally sorted
+    primary chunks (deterministic in the data, so the count and exchange
+    programs agree without communication between them)."""
+    import jax
+    import jax.numpy as jnp
+
+    nvalid = jnp.sum(valid.astype(jnp.int64))
+    sortk = jnp.sort(k0)
+    pos = (jnp.arange(1, n_dev + 1, dtype=jnp.int64) * nvalid) // (n_dev + 1)
+    samples = sortk[jnp.clip(pos, 0, cap - 1)]
+    all_sorted = jnp.sort(jax.lax.all_gather(samples, axis).reshape(-1))
+    sp_pos = (jnp.arange(1, n_dev, dtype=jnp.int64) * (n_dev * n_dev)) // n_dev
+    return all_sorted[sp_pos]
+
+
+def _bucket_of(cols, idx, *, axis: str, n_dev: int, cap: int):
+    import jax.numpy as jnp
+
+    valid = idx >= 0
+    k0 = jnp.where(valid, cols[:, 0], _U64MAX)
+    splitters = _agree_splitters(k0, valid, axis=axis, n_dev=n_dev, cap=cap)
+    # equal keys -> same bucket (side='right'), so groups never straddle
+    return jnp.searchsorted(splitters, k0, side="right"), valid
+
+
+def _count_step(cols_blk, idx_blk, *, axis: str, n_dev: int, cap: int):
+    """Phase 1 of the two-phase exchange: per-(src,dst) bucket counts."""
+    import jax.numpy as jnp
+
+    bucket, valid = _bucket_of(
+        cols_blk[0], idx_blk[0], axis=axis, n_dev=n_dev, cap=cap
+    )
+    counts = jnp.zeros(n_dev, jnp.int64).at[bucket].add(
+        valid.astype(jnp.int64), mode="drop"
+    )
+    return counts[None]
+
+
 def _dict_rank_step(cols_blk, idx_blk, *, axis: str, n_dev: int, cap: int,
-                    ncols: int):
-    """Per-device body: splitter agreement + all_to_all route + local rank.
+                    pair_cap: int, ncols: int):
+    """Phase 2: route rows with a tight per-pair capacity (from phase 1's
+    counts), local byte-lex sort, global dense 1-based group ranks.
 
     cols_blk: (1, cap, ncols) uint64 big-endian chunk rows (U64MAX padding).
     idx_blk:  (1, cap) int64 global occurrence index (-1 padding).
-    Returns (occ index, 1-based global rank) over the received slab.
+    Returns (occ index, rank) over the received n_dev*pair_cap slab.
     """
     import jax
     import jax.numpy as jnp
 
     cols = cols_blk[0]
     idx = idx_blk[0]
-    valid = idx >= 0
-    k0 = jnp.where(valid, cols[:, 0], _U64MAX)
-    nvalid = jnp.sum(valid.astype(jnp.int64))
-
-    # splitters: n_dev regular samples of the locally sorted primary chunk,
-    # all-gathered and re-sampled globally
-    sortk = jnp.sort(k0)
-    pos = (jnp.arange(1, n_dev + 1, dtype=jnp.int64) * nvalid) // (n_dev + 1)
-    samples = sortk[jnp.clip(pos, 0, cap - 1)]
-    all_sorted = jnp.sort(jax.lax.all_gather(samples, axis).reshape(-1))
-    sp_pos = (jnp.arange(1, n_dev, dtype=jnp.int64) * (n_dev * n_dev)) // n_dev
-    splitters = all_sorted[sp_pos]
-
-    # equal keys -> same bucket (side='right'), so groups never straddle
-    bucket = jnp.searchsorted(splitters, k0, side="right")
+    bucket, valid = _bucket_of(cols, idx, axis=axis, n_dev=n_dev, cap=cap)
 
     send_cols: List = []
     send_idx: List = []
     for d in range(n_dev):
-        sel = jnp.nonzero((bucket == d) & valid, size=cap, fill_value=cap)[0]
+        sel = jnp.nonzero(
+            (bucket == d) & valid, size=pair_cap, fill_value=cap
+        )[0]
         send_cols.append(
             jnp.take(cols, sel, axis=0, mode="fill", fill_value=_U64MAX)
         )
         send_idx.append(jnp.take(idx, sel, mode="fill", fill_value=-1))
-    sc = jnp.stack(send_cols)  # (n_dev, cap, ncols)
-    si = jnp.stack(send_idx)  # (n_dev, cap)
+    sc = jnp.stack(send_cols)  # (n_dev, pair_cap, ncols)
+    si = jnp.stack(send_idx)  # (n_dev, pair_cap)
 
     rcols = jax.lax.all_to_all(sc, axis, 0, 0, tiled=True).reshape(
-        n_dev * cap, ncols
+        n_dev * pair_cap, ncols
     )
-    ridx = jax.lax.all_to_all(si, axis, 0, 0, tiled=True).reshape(n_dev * cap)
+    ridx = jax.lax.all_to_all(si, axis, 0, 0, tiled=True).reshape(
+        n_dev * pair_cap
+    )
 
     # local byte-lex sort (padding rows are all-U64MAX and sort last: valid
     # rows start with a byte <= 'Z' < 0xFF)
@@ -112,14 +142,29 @@ def _dict_rank_step(cols_blk, idx_blk, *, axis: str, n_dev: int, cap: int,
     return sidx[None], rank[None]
 
 
-def _rank_program(mesh, axis: str, n_dev: int, cap: int, ncols: int):
+def _count_program(mesh, axis: str, n_dev: int, cap: int, ncols: int):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(
+        jax.shard_map(
+            partial(_count_step, axis=axis, n_dev=n_dev, cap=cap),
+            mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None)),
+            out_specs=P(axis, None),
+        )
+    )
+
+
+def _rank_program(mesh, axis: str, n_dev: int, cap: int, pair_cap: int,
+                  ncols: int):
     import jax
     from jax.sharding import PartitionSpec as P
 
     return jax.jit(
         jax.shard_map(
             partial(_dict_rank_step, axis=axis, n_dev=n_dev, cap=cap,
-                    ncols=ncols),
+                    pair_cap=pair_cap, ncols=ncols),
             mesh=mesh,
             in_specs=(P(axis, None, None), P(axis, None)),
             out_specs=(P(axis, None), P(axis, None)),
@@ -129,6 +174,31 @@ def _rank_program(mesh, axis: str, n_dev: int, cap: int, ncols: int):
 
 def _round_up(n: int, step: int) -> int:
     return -(-n // step) * step
+
+
+def rank_rows_blocks(blk_cols, blk_idx, N: int, mesh, axis: str = "dp"):
+    """Two-phase collective rank over pre-blocked rows (device arrays OK:
+    the blocks may already live in HBM from the row-builder program).
+
+    Phase 1 counts each (src, dst) bucket; the host sizes the exchange with
+    pair_cap = max count — O(N) aggregate buffer instead of the padded
+    all_to_all's O(n_dev * N) (ROADMAP round-1 item 3).
+    """
+    n_dev, cap, ncols = blk_cols.shape
+    counts = np.asarray(
+        _count_program(mesh, axis, n_dev, cap, ncols)(blk_cols, blk_idx)
+    )
+    pair_cap = max(64, _round_up(int(counts.max(initial=0)), 64))
+    fn = _rank_program(mesh, axis, n_dev, cap, pair_cap, ncols)
+    out_idx, out_rank = fn(blk_cols, blk_idx)
+    out_idx = np.asarray(out_idx).reshape(-1)
+    out_rank = np.asarray(out_rank).reshape(-1)
+    keep = out_idx >= 0
+    ranks = np.zeros(N, dtype=np.int64)
+    ranks[out_idx[keep]] = out_rank[keep]
+    if N and ranks.min() < 1:
+        die("distributed rank: unassigned occurrence (collective bug)")
+    return ranks, int(ranks.max(initial=0))
 
 
 def distributed_rank_rows(cols: np.ndarray, mesh, axis: str = "dp"):
@@ -144,17 +214,7 @@ def distributed_rank_rows(cols: np.ndarray, mesh, axis: str = "dp"):
     flat_idx = blk_idx.reshape(n_dev * cap)
     flat_cols[:N] = cols
     flat_idx[:N] = np.arange(N, dtype=np.int64)
-
-    fn = _rank_program(mesh, axis, n_dev, cap, ncols)
-    out_idx, out_rank = fn(blk_cols, blk_idx)
-    out_idx = np.asarray(out_idx).reshape(-1)
-    out_rank = np.asarray(out_rank).reshape(-1)
-    keep = out_idx >= 0
-    ranks = np.zeros(N, dtype=np.int64)
-    ranks[out_idx[keep]] = out_rank[keep]
-    if N and ranks.min() < 1:
-        die("distributed rank: unassigned occurrence (collective bug)")
-    return ranks, int(ranks.max(initial=0))
+    return rank_rows_blocks(blk_cols, blk_idx, N, mesh, axis)
 
 
 def phrase_chunk_rows(T: np.ndarray, starts, ends) -> np.ndarray:
@@ -293,35 +353,251 @@ def dedup_rank_device(T: np.ndarray, starts, ends):
     return _dict_from_ranks(T, starts, ends, ranks)
 
 
+# --------------------------------------------------------------------------
+# Device-resident collective parse: the cut compaction and the phrase-row
+# gathers run INSIDE shard_map programs over the sharded T' — no
+# host-materialized cut mask, no host-built phrase rows (round-1 VERDICT
+# items 4/5).  The cut scan operates directly on T'-sharded chars: T'
+# window position t corresponds to stream position k = t-1, so the cut set
+# is {t : t>w, hash(kmer at t)%p==0, t<=C_len} plus the pseudo-cut at
+# t = C_len + w for the final phrase, making phrase bookkeeping uniform.
+# --------------------------------------------------------------------------
+
+
+def _cut_mask_t(ext, blk_start, *, w: int, p: int, H: int, W_t: int,
+                C_len):
+    """Cut mask over one T' block with an H-byte left halo attached."""
+    import jax.numpy as jnp
+
+    from ..ops.hash import mod_p_u64_via_u32, wang_hash_jax, window_kmers_jax
+    from ..utils.tables import NTOA_TABLE
+
+    ntoa = jnp.asarray(NTOA_TABLE)
+    codes = ntoa[ext]
+    km = window_kmers_jax(codes, w)[H:]
+    h = wang_hash_jax(km)
+    t = blk_start + jnp.arange(W_t, dtype=jnp.int64)
+    if p < (1 << 15):
+        hit = mod_p_u64_via_u32(h, p) == 0
+    else:
+        hit = (h % jnp.uint64(p)) == 0
+    cut = hit & (t > w) & (t <= C_len)
+    return cut | (t == C_len + w), t
+
+
+def _halo_ext(tp, *, axis: str, n_dev: int, H: int):
+    import jax
+    import jax.numpy as jnp
+
+    tail = tp[-H:]
+    prev = jax.lax.ppermute(
+        tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    )
+    return jnp.concatenate((prev, tp))
+
+
+def _mesh_sizing_step(tp_blk, C_len, *, axis: str, n_dev: int, W_t: int,
+                      H: int, w: int, p: int):
+    """Per-shard phrase statistics: (count, first_t, last_t,
+    max_len_excluding_first_cut).  Host combines across shards."""
+    import jax
+    import jax.numpy as jnp
+
+    tp = tp_blk[0]
+    my = jax.lax.axis_index(axis)
+    blk_start = my.astype(jnp.int64) * W_t
+    ext = _halo_ext(tp, axis=axis, n_dev=n_dev, H=H)
+    cut, t = _cut_mask_t(ext, blk_start, w=w, p=p, H=H, W_t=W_t,
+                         C_len=C_len)
+    marked = jnp.where(cut, t, jnp.int64(-1))
+    count = jnp.sum(cut.astype(jnp.int64))
+    first_t = jnp.min(jnp.where(cut, t, jnp.int64(np.iinfo(np.int64).max)))
+    last_t = jnp.max(marked)
+    pc = jnp.concatenate(
+        (jnp.full(1, -1, jnp.int64), jax.lax.cummax(marked)[:-1])
+    )
+    has_prev = cut & (pc >= 0)
+    maxlen_rest = jnp.max(jnp.where(has_prev, t - pc + w, 0))
+    return (count[None], first_t[None], last_t[None], maxlen_rest[None])
+
+
+def _mesh_rows_step(tp_blk, prev_t_in, base_idx, C_len,
+                    *, axis: str, n_dev: int, W_t: int, H: int,
+                    local_cap: int, ncols: int, w: int, p: int):
+    """Per-shard phrase extraction: local cut compaction + row gathers from
+    the halo-extended block.  Everything stays on device; the returned
+    blocks feed the two-phase collective rank directly."""
+    import jax
+    import jax.numpy as jnp
+
+    tp = tp_blk[0]
+    my = jax.lax.axis_index(axis)
+    blk_start = my.astype(jnp.int64) * W_t
+    ext = _halo_ext(tp, axis=axis, n_dev=n_dev, H=H)
+    cut, _ = _cut_mask_t(ext, blk_start, w=w, p=p, H=H, W_t=W_t,
+                         C_len=C_len)
+    nloc = jnp.sum(cut.astype(jnp.int64))
+    loc = jnp.nonzero(cut, size=local_cap, fill_value=0)[0]
+    j = jnp.arange(local_cap, dtype=jnp.int64)
+    valid = j < nloc
+    ends = blk_start + loc  # T' coords (e = t)
+    prev_e = jnp.concatenate((prev_t_in.reshape(1), ends[:-1]))
+    starts = prev_e - w + 1
+    lens = jnp.where(valid, ends - starts + 1, 0)
+
+    # big-endian 8-byte chunk rows gathered from ext (left halo covers the
+    # longest phrase); invalid slots are U64MAX so they sort last
+    emax = H + W_t - 1
+    rel = starts - (blk_start - H)  # start offset inside ext
+    cols = []
+    for c in range(ncols):
+        val = jnp.zeros(local_cap, dtype=jnp.uint64)
+        for b in range(8):
+            off = 8 * c + b
+            idx_b = jnp.clip(rel + off, 0, emax)
+            ch = ext[idx_b].astype(jnp.uint64)
+            ok = off < lens
+            val = (val << jnp.uint64(8)) | jnp.where(ok, ch, jnp.uint64(0))
+        cols.append(jnp.where(valid, val, _U64MAX))
+    rows = jnp.stack(cols, axis=1)  # (local_cap, ncols)
+    occ_idx = jnp.where(valid, base_idx.reshape(()) + j, jnp.int64(-1))
+    last = jnp.where(
+        valid, ext[jnp.clip(ends - w - (blk_start - H), 0, emax)],
+        jnp.uint8(0),
+    )
+    return (
+        rows[None],
+        occ_idx[None],
+        jnp.where(valid, starts, 0)[None],
+        jnp.where(valid, ends, 0)[None],
+        last[None],
+    )
+
+
+def _mesh_parse_programs(mesh, axis, n_dev, W_t, H, w, p, local_cap, ncols):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    sizing = jax.jit(
+        jax.shard_map(
+            partial(_mesh_sizing_step, axis=axis, n_dev=n_dev, W_t=W_t,
+                    H=H, w=w, p=p),
+            mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )
+    )
+    rows = None
+    if local_cap is not None:
+        rows = jax.jit(
+            jax.shard_map(
+                partial(_mesh_rows_step, axis=axis, n_dev=n_dev, W_t=W_t,
+                        H=H, local_cap=local_cap, ncols=ncols, w=w, p=p),
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis), P(axis), P()),
+                out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                           P(axis, None), P(axis, None)),
+            )
+        )
+    return sizing, rows
+
+
 def distributed_parse_records(records, params: ParserParams, mesh,
                               axis: str = "dp") -> ParseResult:
-    """Full collective parse: sharded halo-exchange hash scan for the cut
-    mask + distributed sample-sort for the dictionary — the multi-chip
-    equivalent of PfParser::add_fasta + finalize (pfparser.hpp:299-369,
-    484-517), exact by the junction identity."""
-    from ..utils.tables import NTOA_TABLE
-    from .sharded import sharded_cut_mask
+    """Full collective parse: sharded halo-exchange hash scan, ON-DEVICE cut
+    compaction + phrase-row gathers, and the two-phase distributed
+    sample-sort for the dictionary — the multi-chip equivalent of
+    PfParser::add_fasta + finalize (pfparser.hpp:299-369, 484-517), exact
+    by the junction identity.  Host traffic is O(#phrases) metadata plus
+    two scalar rounds; the text-sized cut mask never leaves the devices."""
+    import jax
 
+    from ..utils.limits import check_phrase_count
+    from ..utils.tables import NTOA_TABLE
+
+    w, p = params.w, params.p
     C, doc_names, doc_starts = build_stream(records, params)
-    codes = NTOA_TABLE[C]
-    if codes.size and codes.max() > 3:
-        bad = C[codes > 3][0]
+    codes_chk = NTOA_TABLE[C]
+    if codes_chk.size and codes_chk.max() > 3:
+        bad = C[codes_chk > 3][0]
         die(f"invalid character {bad}/{chr(bad)} in input "
             "(use --non-acgt-to-a)")
-    cut, _ = sharded_cut_mask(codes, params.w, params.p, mesh, axis=axis)
-    cuts = np.flatnonzero(cut)
-    starts, ends = phrase_bounds_from_cuts(C.shape[0], cuts, params.w)
-    if starts.shape[0] == 1:
+    del codes_chk
+    T = _tprime(C, w)
+    C_len = int(C.shape[0])
+    n_dev = mesh.devices.size
+
+    W_t = _round_up(max(-(-T.shape[0] // n_dev), 64), 64)
+    tp_pad = np.full(n_dev * W_t, 0, dtype=np.uint8)  # pad byte 0 < Dollar
+    tp_pad[: T.shape[0]] = T
+    tp_blocks = tp_pad.reshape(n_dev, W_t)
+    H0 = _round_up(w + 1, 64)
+
+    sizing, _ = _mesh_parse_programs(
+        mesh, axis, n_dev, W_t, H0, w, p, None, None
+    )
+    cnt, first_t, last_t, maxlen_rest = (
+        np.asarray(x) for x in sizing(tp_blocks, np.int64(C_len))
+    )
+    nphrases = int(cnt.sum())
+    if nphrases <= 1:
         die("error: only one dict word total. Re-run with a smaller p "
             "modulus")
-    from ..utils.limits import check_phrase_count
+    check_phrase_count(nphrases)
 
-    check_phrase_count(starts.shape[0])
-    T = _tprime(C, params.w)
-    dict_starts, dict_lens, occs, parse_ranks = distributed_dedup_rank(
-        T, starts, ends, mesh, axis
-    )
-    last = T[ends - params.w]
+    # cross-shard stitching on n_dev scalars: previous cut per shard +
+    # corrected first-cut phrase lengths
+    prev_t = np.full(n_dev, w - 1, dtype=np.int64)  # w-1 => start 0
+    run_last = np.int64(w - 1)
+    have_prev = False
+    maxlen = int(maxlen_rest.max(initial=0))
+    for s in range(n_dev):
+        prev_t[s] = run_last
+        if cnt[s] > 0:
+            f = int(first_t[s])
+            maxlen = max(
+                maxlen, f - int(run_last) + w if have_prev else f + 1
+            )
+            run_last = last_t[s]
+            have_prev = True
+    base_idx = np.zeros(n_dev, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=base_idx[1:])
+
+    H = _round_up(max(maxlen, w + 1), 64)
+    if H > W_t:
+        # a phrase longer than a shard: single-neighbor halo insufficient —
+        # exact host fallback (rare: p bounds expected phrase length)
+        cut_np = np.zeros(0, np.int64)
+        from ..ops.hash import hash_scan_np
+
+        _, _, cutm = hash_scan_np(C, w, p)
+        cut_np = np.flatnonzero(cutm)
+        starts, ends = phrase_bounds_from_cuts(C_len, cut_np, w)
+        dict_starts, dict_lens, occs, parse_ranks = distributed_dedup_rank(
+            T, starts, ends, mesh, axis
+        )
+    else:
+        local_cap = _round_up(max(int(cnt.max(initial=1)), 64), 64)
+        ncols = max(1, -(-maxlen // 8))
+        _, rows_prog = _mesh_parse_programs(
+            mesh, axis, n_dev, W_t, H, w, p, local_cap, ncols
+        )
+        rows_d, idx_d, starts_d, ends_d, last_d = rows_prog(
+            tp_blocks, prev_t, base_idx, np.int64(C_len)
+        )
+        ranks, _ = rank_rows_blocks(rows_d, idx_d, nphrases, mesh, axis)
+        # O(#phrases) metadata to host, compacted to occurrence order
+        idx_h = np.asarray(idx_d).reshape(-1)
+        keep = idx_h >= 0
+        order = idx_h[keep]
+        starts = np.empty(nphrases, dtype=np.int64)
+        ends = np.empty(nphrases, dtype=np.int64)
+        starts[order] = np.asarray(starts_d).reshape(-1)[keep]
+        ends[order] = np.asarray(ends_d).reshape(-1)[keep]
+        dict_starts, dict_lens, occs, parse_ranks = _dict_from_ranks(
+            T, starts, ends, ranks
+        )
+    last = T[ends - w]
     sai = ends.astype(np.uint64)
     return ParseResult(
         params=params,
@@ -334,6 +610,6 @@ def distributed_parse_records(records, params: ParserParams, mesh,
         sai=sai,
         doc_names=list(doc_names) if params.store_docs else [],
         doc_starts=list(doc_starts) if params.store_docs else [],
-        pos=C.shape[0] + params.w,
+        pos=C.shape[0] + w,
         nseqs=len(records),
     )

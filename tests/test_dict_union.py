@@ -87,3 +87,28 @@ def test_device_dict_impl_matches_host(rng, monkeypatch):
     assert got.phrases == want.phrases
     assert np.array_equal(got.occs, want.occs)
     assert np.array_equal(got.parse_ranks, want.parse_ranks)
+
+
+def test_mesh_parse_long_phrase_fallback(rng):
+    """Phrases longer than a shard exceed the single-neighbor halo: the
+    exact host fallback must kick in and still match the host parse."""
+    chars = rng.choice(list(b"ACGT"), size=4000).astype(np.uint8)
+    params = ParserParams(w=8, p=600)  # expected gap ~ p >> shard width
+    mesh = make_parse_mesh()
+    got = distributed_parse_records([("c", chars)], params, mesh)
+    want = parse_records([("c", chars)], params)
+    assert got.phrases == want.phrases
+    assert np.array_equal(got.parse_ranks, want.parse_ranks)
+    assert np.array_equal(got.occs, want.occs)
+    assert np.array_equal(got.sai, want.sai)
+
+
+def test_mesh_parse_empty_shards(rng):
+    """Tiny input: most devices hold only padding; counts/halo must cope."""
+    chars = rng.choice(list(b"ACGT"), size=300).astype(np.uint8)
+    params = ParserParams(w=4, p=5)
+    mesh = make_parse_mesh()
+    got = distributed_parse_records([("c", chars)], params, mesh)
+    want = parse_records([("c", chars)], params)
+    assert got.phrases == want.phrases
+    assert np.array_equal(got.parse_ranks, want.parse_ranks)
