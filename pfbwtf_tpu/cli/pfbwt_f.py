@@ -104,16 +104,27 @@ def main(argv=None):
                 verbose=args.verbose,
             )
             if args.mesh:
+                from ..io import formats as _fmt
                 from ..io.fasta import read_fasta_bytes
                 from ..parallel.dict_union import distributed_parse_records
+                from ..parallel.pfbwt_mesh import mesh_parse_bwt
                 from ..parallel.sharded import make_parse_mesh
-                from ..pipeline import save_parse_bwt, save_parser
+                from ..pipeline import save_parser
 
+                mesh = make_parse_mesh()
                 res = distributed_parse_records(
-                    read_fasta_bytes(args.fasta), params, make_parse_mesh()
+                    read_fasta_bytes(args.fasta), params, mesh
                 )
                 save_parser(res, output, dtype)
-                save_parse_bwt(res, output, dtype, sa=params.get_sai)
+                # stage 2 over the mesh (distributed doubling + ilist sort)
+                pb = mesh_parse_bwt(
+                    res.parse_ranks, res.last, res.sai, mesh,
+                    get_sai=params.get_sai,
+                )
+                _fmt.write_u8(output + ".bwlast", pb.bwlast)
+                _fmt.write_uint(output + ".ilist", pb.ilist, dtype)
+                if params.get_sai:
+                    _fmt.write_uint(output + ".bwsai", pb.bwsai, dtype)
                 n = res.n
             elif args.shards > 1:
                 from ..parallel.driver import pod_parse
@@ -137,6 +148,11 @@ def main(argv=None):
                 n = run_parser(args.fasta, output, params, dtype)
         if not args.parse_only:
             print("generating BWT using pfbwt algorithm...", file=sys.stderr)
+            mesh = None
+            if args.mesh:
+                from ..parallel.sharded import make_parse_mesh
+
+                mesh = make_parse_mesh()
             cfg = PfbwtConfig(
                 prefix=output,
                 w=args.w,
@@ -145,6 +161,7 @@ def main(argv=None):
                 verbose=args.verbose,
                 dtype=dtype,
                 stdout_ext=args.stdout_ext,
+                mesh=mesh,
             )
             run_pfbwt(cfg, n)
     except PfbwtError as e:

@@ -69,6 +69,7 @@ class PfbwtConfig:
     dtype: np.dtype = U64
     stdout_ext: str = ""  # '-c <ext>': route one output to stdout
     backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
+    mesh: object = None  # jax Mesh: run stage 3's sorts as collectives
 
 
 def run_parser(
@@ -115,19 +116,28 @@ def run_pfbwt(cfg: PfbwtConfig, n: Optional[int] = None):
         if any_sa
         else "generating final BWT w/o SA"
     ):
-        res = engine.assemble_bwt(
-            dict_flat,
-            cfg.w,
-            occs.astype(np.int64),
-            bwlast,
-            ilist.astype(np.int64),
-            bwsai,
-            n,
-            want_sa=cfg.sa,
-            want_rssa=cfg.rssa,
-            sa_dtype=cfg.dtype,
-            backend=cfg.backend,
-        )
+        if cfg.mesh is not None:
+            from .parallel.pfbwt_mesh import mesh_assemble_bwt
+
+            res = mesh_assemble_bwt(
+                dict_flat, cfg.w, occs.astype(np.int64), bwlast,
+                ilist.astype(np.int64), bwsai, n, cfg.mesh,
+                want_sa=cfg.sa, want_rssa=cfg.rssa, sa_dtype=cfg.dtype,
+            )
+        else:
+            res = engine.assemble_bwt(
+                dict_flat,
+                cfg.w,
+                occs.astype(np.int64),
+                bwlast,
+                ilist.astype(np.int64),
+                bwsai,
+                n,
+                want_sa=cfg.sa,
+                want_rssa=cfg.rssa,
+                sa_dtype=cfg.dtype,
+                backend=cfg.backend,
+            )
     bwt_fp = _out_handle(cfg, EXT.BWT)
     bwt_fp.write(res.bwt.tobytes())
     if bwt_fp is not sys.stdout.buffer:
