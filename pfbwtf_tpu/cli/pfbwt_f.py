@@ -32,8 +32,9 @@ def build_argparser():
     ap.add_argument("-w", "--window-size", type=int, default=10, dest="w")
     ap.add_argument("-p", "--mod-val", type=int, default=100, dest="p")
     ap.add_argument("-m", "--mmap", action="store_true",
-                    help="accepted for compatibility (host arrays are "
-                         "memory-mapped on demand)")
+                    help="out-of-core mode: memmap-backed stage-3 inputs, "
+                         ".gsa/.glcp workspace spill, and streamed "
+                         "bounded-RAM assembly")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--pfbwt-only", action="store_true")
     ap.add_argument("--trim-non-acgt", action="store_true")
@@ -162,6 +163,7 @@ def main(argv=None):
                 dtype=dtype,
                 stdout_ext=args.stdout_ext,
                 mesh=mesh,
+                mmap=args.mmap and mesh is None,
             )
             run_pfbwt(cfg, n)
     except PfbwtError as e:

@@ -58,21 +58,26 @@ def _dict_suffix_sort_host(dict_flat):
     return dict_suffix_sort_np(dict_flat)
 
 
-def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=None,
-               verify_groups=True):
-    """Sorted dict suffixes + their emission layout.
+def suffix_layout(dict_flat, w, occs, sa_all=None, word_id=None,
+                  suf_len=None, verify_groups=True, small_hint=True,
+                  workspace=None):
+    """Dict-scale emission layout: kept suffixes in lexicographic order,
+    their equality groups, owning words and lengths.
 
-    Returns (sa_kept, gid, word_of_suffix, suf_len_kept, E_suffix, E_j).
+    Returns (sa_kept, gid, u, suf_len_kept, seg_start, idt).  Everything
+    here is O(|dict|) — the n-scale emission fan-out happens either in
+    one shot (_emissions) or in bounded chunks (ops/bwt_mmap).
 
-    Index arrays use int32 when sizes allow: this numpy build's 64-bit
-    fancy-indexing/gather paths are an order of magnitude slower than the
-    32-bit ones, and n < 2**31 covers the reference's own 32-bit domain.
+    ``workspace(sa_all, lcp_or_none)`` is called with the full gSA (and
+    LCP when the native kernel produced one) right after the sort — the
+    hook the -m mode uses to spill the reference's .gsa/.glcp files
+    (pfbwt.hpp:208-209).
     """
     dict_flat = np.asarray(dict_flat, dtype=np.uint8)
-    ilist = np.asarray(ilist)
-    small = dict_flat.shape[0] < 2**31 - 8 and ilist.shape[0] < 2**31 - 8
+    small = dict_flat.shape[0] < 2**31 - 8 and small_hint
     idt = np.int32 if small else np.int64
     gid = None
+    lcp_for_ws = None
     if sa_all is None:
         try:
             from ..native import available, dict_suffix_sort_lcp_native
@@ -81,6 +86,7 @@ def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=Non
                 sa_all, lcp, word_id, suf_len, _ = (
                     dict_suffix_sort_lcp_native(dict_flat)
                 )
+                lcp_for_ws = lcp
                 sa_all = sa_all.astype(idt)
                 lcp = lcp.astype(idt)
                 word_id = word_id.astype(idt)
@@ -107,6 +113,8 @@ def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=Non
         sa_all = sa_all.astype(idt)
         word_id = np.asarray(word_id).astype(idt)
         suf_len = np.asarray(suf_len).astype(idt)
+    if workspace is not None:
+        workspace(sa_all, lcp_for_ws)
     if gid is None:
         keep = suf_len[sa_all] > w
         sa_kept = sa_all[keep]
@@ -119,6 +127,26 @@ def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=Non
     seg_start = np.concatenate(
         (np.ones(1, idt), (1 + np.cumsum(occs, dtype=np.int64)[:-1]).astype(idt))
     )
+    return sa_kept, gid, u, suf_len[sa_kept], seg_start, idt
+
+
+def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None,
+               suf_len=None, verify_groups=True):
+    """Sorted dict suffixes + their emission layout.
+
+    Returns (sa_kept, gid, word_of_suffix, suf_len_kept, E_suffix, E_j).
+
+    Index arrays use int32 when sizes allow: this numpy build's 64-bit
+    fancy-indexing/gather paths are an order of magnitude slower than the
+    32-bit ones, and n < 2**31 covers the reference's own 32-bit domain.
+    """
+    ilist = np.asarray(ilist)
+    sa_kept, gid, u, suf_len_kept, seg_start, idt = suffix_layout(
+        dict_flat, w, occs, sa_all=sa_all, word_id=word_id,
+        suf_len=suf_len, verify_groups=verify_groups,
+        small_hint=ilist.shape[0] < 2**31 - 8,
+    )
+    occs = np.asarray(occs).astype(idt)
     counts = occs[u]
     E_suffix = np.repeat(np.arange(sa_kept.shape[0], dtype=idt), counts)
     # within-suffix occurrence index 0..count-1
@@ -127,7 +155,7 @@ def _emissions(dict_flat, w, occs, ilist, sa_all=None, word_id=None, suf_len=Non
     )
     within = np.arange(E_suffix.shape[0], dtype=idt) - np.repeat(first, counts)
     E_j = ilist.astype(idt)[np.repeat(seg_start[u], counts) + within]
-    return sa_kept, gid, u, suf_len[sa_kept], E_suffix, E_j
+    return sa_kept, gid, u, suf_len_kept, E_suffix, E_j
 
 
 def assemble_bwt(

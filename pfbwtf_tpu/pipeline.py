@@ -70,6 +70,7 @@ class PfbwtConfig:
     stdout_ext: str = ""  # '-c <ext>': route one output to stdout
     backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
     mesh: object = None  # jax Mesh: run stage 3's sorts as collectives
+    mmap: bool = False  # -m: memmap inputs + streamed bounded-RAM stage 3
 
 
 def run_parser(
@@ -100,17 +101,34 @@ def _out_handle(cfg: PfbwtConfig, ext: str):
 def run_pfbwt(cfg: PfbwtConfig, n: Optional[int] = None):
     """Stage 3: load checkpoint files, assemble final BWT, write outputs."""
     prefix = cfg.prefix
-    dict_flat = formats.read_dict_flat(prefix + "." + EXT.DICT)
-    occs = formats.read_occ(prefix + "." + EXT.OCC, cfg.dtype)
-    bwlast = formats.read_u8(prefix + "." + EXT.BWLST)
-    ilist = formats.read_uint(prefix + "." + EXT.ILIST, cfg.dtype)
+    if cfg.mmap:
+        # -m mode: inputs stay file-backed (file_wrappers.hpp MMap role)
+        def _mm(path, dtype):
+            return np.memmap(path, dtype=dtype, mode="r")
+
+        dict_flat = _mm(prefix + "." + EXT.DICT, np.uint8)
+        occs = _mm(prefix + "." + EXT.OCC, cfg.dtype)
+        bwlast = _mm(prefix + "." + EXT.BWLST, np.uint8)
+        ilist = _mm(prefix + "." + EXT.ILIST, cfg.dtype)
+    else:
+        dict_flat = formats.read_dict_flat(prefix + "." + EXT.DICT)
+        occs = formats.read_occ(prefix + "." + EXT.OCC, cfg.dtype)
+        bwlast = formats.read_u8(prefix + "." + EXT.BWLST)
+        ilist = formats.read_uint(prefix + "." + EXT.ILIST, cfg.dtype)
     any_sa = cfg.sa or cfg.rssa
-    bwsai = (
-        formats.read_uint(prefix + "." + EXT.BWSAI, cfg.dtype) if any_sa else None
-    )
+    if not any_sa:
+        bwsai = None
+    elif cfg.mmap:
+        bwsai = np.memmap(prefix + "." + EXT.BWSAI, dtype=cfg.dtype,
+                          mode="r")
+    else:
+        bwsai = formats.read_uint(prefix + "." + EXT.BWSAI, cfg.dtype)
     if n is None:
         n = formats.read_n(prefix + "." + EXT.N)
     check_text_width(n, cfg.dtype)
+    if cfg.mmap:
+        return _run_pfbwt_stream(cfg, dict_flat, occs, bwlast, ilist,
+                                 bwsai, n)
     with task_timer(
         "generating final BWT w/ full and/or run-length SA"
         if any_sa
@@ -156,3 +174,38 @@ def run_pfbwt(cfg: PfbwtConfig, n: Optional[int] = None):
     print(f"r: {res.nruns}", file=sys.stderr)
     print(f"n/r: {n / res.nruns:.3f}", file=sys.stderr)
     return res
+
+
+def _run_pfbwt_stream(cfg: PfbwtConfig, dict_flat, occs, bwlast, ilist,
+                      bwsai, n):
+    """-m stage 3: streamed bounded-RAM assembly straight into the output
+    files + .gsa/.glcp workspace spill (ops/bwt_mmap)."""
+    from .ops.bwt_mmap import assemble_bwt_stream
+
+    with task_timer(
+        "generating final BWT (mmap mode)"
+    ):
+        bwt_fp = _out_handle(cfg, EXT.BWT)
+        sa_fp = _out_handle(cfg, EXT.SA) if cfg.sa else None
+        try:
+            nruns, ssa, esa = assemble_bwt_stream(
+                dict_flat, cfg.w, np.asarray(occs).astype(np.int64),
+                bwlast, ilist, bwsai, n,
+                bwt_fp, sa_fp=sa_fp, want_rssa=cfg.rssa,
+                sa_dtype=cfg.dtype, workspace_prefix=cfg.prefix,
+                workspace_dtype=cfg.dtype,
+            )
+        finally:
+            if bwt_fp is not sys.stdout.buffer:
+                bwt_fp.close()
+            if sa_fp is not None and sa_fp is not sys.stdout.buffer:
+                sa_fp.close()
+    if cfg.rssa:
+        with open(cfg.prefix + "." + EXT.SSA, "wb") as f:
+            f.write(ssa.astype(cfg.dtype).tobytes())
+        with open(cfg.prefix + "." + EXT.ESA, "wb") as f:
+            f.write(esa.astype(cfg.dtype).tobytes())
+    print(f"n: {n}", file=sys.stderr)
+    print(f"r: {nruns}", file=sys.stderr)
+    print(f"n/r: {n / nruns:.3f}", file=sys.stderr)
+    return nruns
