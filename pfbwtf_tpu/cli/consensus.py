@@ -10,9 +10,12 @@ the consensus FASTA, optionally write markers.
 bcftools compatibility notes: -H is 1-based (1|2); with no sample the
 reference alleles are applied (gt=0 everywhere).  Supported transforms:
 -p prefix, --mark-del/--mark-ins/--mark-snv, -a absent, -M missing,
--m mask (BED) + --mask-with CHAR|uc|lc (consensus.cpp:1105-1130).
--I/--iupac-codes is DISABLED in the reference itself (consensus.cpp:1120)
-and -i/-e filter expressions and -c chain output are out of scope.
+-m mask (BED) + --mask-with CHAR|uc|lc, -c chain output
+(consensus.cpp:144-260), -i/-e site filter expressions over the
+TYPE/QUAL/FILTER/POS/ID/REF/ALT core (consensus.cpp:288,397-401; full
+htslib expression grammar is larger — unsupported constructs error out
+loudly).  -I/--iupac-codes is DISABLED in the reference itself
+(consensus.cpp:1120).
 """
 
 import argparse
@@ -58,15 +61,32 @@ def main(argv=None):
     ap.add_argument("-m", "--mask", default="", metavar="FILE",
                     help="BED file of regions to mask")
     ap.add_argument("--mask-with", default="N", metavar="CHAR|uc|lc")
+    ap.add_argument("-c", "--chain", default="", metavar="FILE",
+                    help="write a UCSC liftover chain file for the "
+                         "ref->consensus coordinate mapping")
+    ap.add_argument("-i", "--include", default="", metavar="EXPR",
+                    help="apply only sites for which the expression is "
+                         "true (TYPE/QUAL/FILTER/POS/ID/REF/ALT core)")
+    ap.add_argument("-e", "--exclude", default="", metavar="EXPR",
+                    help="skip sites for which the expression is true")
     args = ap.parse_args(argv)
 
     for flag, val in (("--mark-ins", args.mark_ins),
                       ("--mark-snv", args.mark_snv)):
         if val:
             _mark_case(val, flag)
+    if args.include and args.exclude:
+        print("error: only one of -i or -e can be given", file=sys.stderr)
+        return 1
+    site_filter = None
+    if args.include or args.exclude:
+        from ..vcf.filter import compile_filter
+
+        site_filter = compile_filter(args.include or args.exclude)
     copts = None
     if (args.prefix or args.mark_del or args.mark_ins or args.mark_snv
-            or args.absent or args.missing or args.mask):
+            or args.absent or args.missing or args.mask or args.chain
+            or site_filter is not None):
         copts = ConsensusOpts(
             mark_del=args.mark_del,
             mark_ins=args.mark_ins,
@@ -76,6 +96,9 @@ def main(argv=None):
             prefix=args.prefix,
             mask=read_mask_bed(args.mask) if args.mask else {},
             mask_with=args.mask_with,
+            chain=bool(args.chain),
+            site_filter=site_filter,
+            filter_exclude=bool(args.exclude),
         )
         if args.markers and copts.length_changing():
             print("error: length-changing consensus options cannot be "
@@ -104,6 +127,9 @@ def main(argv=None):
     if args.markers:
         with open(args.markers, "wb") as f:
             f.write(res.mps_bytes)
+    if args.chain:
+        with open(args.chain, "w") as f:
+            f.write(res.chain_text)
     return 0
 
 

@@ -36,6 +36,8 @@ class VCFRecord:
     vid: str
     alleles: List[str]  # [ref, alt1, alt2, ...]
     gts: "GTView"
+    qual: float = float("nan")  # QUAL column ('.' -> nan)
+    filter: str = "."  # FILTER column
 
     @property
     def n_allele(self) -> int:
@@ -65,11 +67,12 @@ class _ContigStore:
 
     __slots__ = (
         "pos", "gts", "allele_arena", "allele_off", "allele_cnt",
-        "id_arena", "id_off",
+        "id_arena", "id_off", "qual", "filter_arena", "filter_off",
     )
 
     def __init__(self, pos, gts, allele_arena, allele_off, allele_cnt,
-                 id_arena, id_off):
+                 id_arena, id_off, qual=None, filter_arena=b"",
+                 filter_off=None):
         self.pos = pos  # (nrec,) int64
         self.gts = gts  # (nrec, nsamples, 2) int16; -1 = missing
         self.allele_arena = allele_arena  # bytes: alleles joined by ','
@@ -77,6 +80,16 @@ class _ContigStore:
         self.allele_cnt = allele_cnt  # (nrec+1,) int64 prefix counts
         self.id_arena = id_arena
         self.id_off = id_off  # (nrec+1,) int64
+        nrec = pos.shape[0]
+        self.qual = (
+            qual if qual is not None else np.full(nrec, np.nan)
+        )  # (nrec,) float64, nan = '.'
+        self.filter_arena = filter_arena
+        self.filter_off = (
+            filter_off
+            if filter_off is not None
+            else np.zeros(nrec + 1, dtype=np.int64)
+        )
 
     def __len__(self):
         return self.pos.shape[0]
@@ -92,15 +105,21 @@ class _ContigStore:
     def id_of(self, i: int) -> str:
         return self.id_arena[self.id_off[i]: self.id_off[i + 1]].decode()
 
+    def filter_of(self, i: int) -> str:
+        s = self.filter_arena[self.filter_off[i]: self.filter_off[i + 1]]
+        return s.decode() if s else "."
+
 
 class _ContigBuilder:
-    __slots__ = ("pos", "gts", "alleles", "ids")
+    __slots__ = ("pos", "gts", "alleles", "ids", "quals", "filters")
 
     def __init__(self):
         self.pos: List[int] = []
         self.gts: List = []
         self.alleles: List[bytes] = []  # per record: b"ref,alt1,..."
         self.ids: List[bytes] = []
+        self.quals: List[float] = []
+        self.filters: List[bytes] = []
 
     def finish(self, nsamples: int) -> _ContigStore:
         nrec = len(self.pos)
@@ -124,8 +143,23 @@ class _ContigBuilder:
         id_off = np.zeros(nrec + 1, dtype=np.int64)
         np.cumsum(np.array([len(x) for x in self.ids], np.int64),
                   out=id_off[1:])
+        qual = (
+            np.array(self.quals, dtype=np.float64)
+            if len(self.quals) == nrec
+            else np.full(nrec, np.nan)
+        )
+        filt_off = np.zeros(nrec + 1, dtype=np.int64)
+        if len(self.filters) == nrec:
+            np.cumsum(
+                np.array([len(x) for x in self.filters], np.int64),
+                out=filt_off[1:],
+            )
+            filt_arena = b"".join(self.filters)
+        else:
+            filt_arena = b""
         return _ContigStore(
-            pos, gts, arena, off, cnt, b"".join(self.ids), id_off
+            pos, gts, arena, off, cnt, b"".join(self.ids), id_off,
+            qual, filt_arena, filt_off,
         )
 
 
@@ -152,6 +186,8 @@ class _RecordSeq:
             st.id_of(i),
             st.alleles_of(i),
             GTView(st.gts[i]),
+            qual=float(st.qual[i]),
+            filter=st.filter_of(i),
         )
 
     def __iter__(self) -> Iterator[VCFRecord]:
@@ -211,6 +247,11 @@ class VCF:
                 b.ids.append(cols[2])
                 alts = cols[4] if cols[4] not in (b".", b"") else b""
                 b.alleles.append(cols[3] + b"," + alts if alts else cols[3])
+                try:
+                    b.quals.append(float(cols[5]))
+                except ValueError:
+                    b.quals.append(float("nan"))
+                b.filters.append(cols[6])
                 fmt = cols[8].split(b":") if len(cols) > 8 else []
                 gt_idx = fmt.index(b"GT") if b"GT" in fmt else -1
                 row: List[int] = []
@@ -291,7 +332,9 @@ def merge_vcfs(fnames: List[str]) -> "VCF":
         # rebuild arenas in sorted record order
         alleles: List[bytes] = []
         ids: List[bytes] = []
-        cnt_parts = []
+        quals: List[float] = []
+        filters: List[bytes] = []
+        cnt_parts = alleles
         for _, st in parts:
             for i in range(len(st)):
                 a, b2 = st.allele_cnt[i], st.allele_cnt[i + 1]
@@ -304,10 +347,14 @@ def merge_vcfs(fnames: List[str]) -> "VCF":
                     )
                 )
                 ids.append(st.id_arena[st.id_off[i]: st.id_off[i + 1]])
+                quals.append(float(st.qual[i]))
+                filters.append(st.filter_of(i).encode())
         bld = _ContigBuilder()
         bld.pos = pos[order].tolist()
         bld.alleles = [cnt_parts[i] for i in order]
         bld.ids = [ids[i] for i in order]
+        bld.quals = [quals[i] for i in order]
+        bld.filters = [filters[i] for i in order]
         bld.gts = []  # gts set directly below
         st = bld.finish(0)
         st.gts = gts

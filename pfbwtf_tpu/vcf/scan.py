@@ -45,6 +45,9 @@ class ConsensusOpts:
     prefix: str = ""  # prepended to output sequence names
     mask: dict = field(default_factory=dict)  # contig -> [(start, end)) BED
     mask_with: str = "N"  # CHAR | 'uc' | 'lc'
+    chain: bool = False  # -c: record UCSC liftover chains per contig
+    site_filter: object = None  # compiled -i/-e expression (vcf/filter.py)
+    filter_exclude: bool = False  # True: -e semantics (drop matching sites)
 
     def length_changing(self) -> bool:
         return bool(self.mark_del or self.absent or self.missing
@@ -112,10 +115,55 @@ def read_mask_bed(path: str) -> dict:
     return regions
 
 
+class _ChainBuilder:
+    """UCSC liftover chain per contig (consensus.cpp:144-260 semantics):
+    ungapped blocks between applied length-changing variants; back-to-back
+    variants merge into the previous block's gaps."""
+
+    def __init__(self, ori_pos: int = 0):
+        self.ori = ori_pos
+        self.blocks: List[int] = []
+        self.ref_gaps: List[int] = []
+        self.alt_gaps: List[int] = []
+        self.ref_last = ori_pos
+        self.alt_last = ori_pos
+        self.chain_id = 0
+
+    def push(self, ref_start, ref_len, alt_start, alt_len):
+        if self.blocks and ref_start <= self.ref_last:
+            # back-to-back with the previous variant
+            self.ref_last = ref_start + ref_len
+            self.alt_last = alt_start + alt_len
+            self.ref_gaps[-1] += ref_len
+            self.alt_gaps[-1] += alt_len
+        else:
+            self.blocks.append(ref_start - self.ref_last)
+            self.ref_gaps.append(ref_len)
+            self.alt_gaps.append(alt_len)
+            self.ref_last = ref_start + ref_len
+            self.alt_last = alt_start + alt_len
+
+    def render(self, chrom: str, fa_length: int, chain_id: int) -> str:
+        ref_end = fa_length + self.ori
+        last_block = ref_end - self.ref_last
+        alt_end = self.alt_last + last_block
+        score = sum(self.blocks) + last_block
+        lines = [
+            f"chain {score} {chrom} {ref_end} + {self.ori} {ref_end} "
+            f"{chrom} {alt_end} + {self.ori} {alt_end} {chain_id}"
+        ]
+        for b, rg, ag in zip(self.blocks, self.ref_gaps, self.alt_gaps):
+            lines.append(f"{b} {rg} {ag}")
+        lines.append(f"{last_block}")
+        lines.append("")
+        return "\n".join(lines) + "\n"
+
+
 @dataclass
 class ScanResult:
     records: List[Tuple[str, np.ndarray]] = field(default_factory=list)
     mps_bytes: bytes = b""
+    chain_text: str = ""  # -c: concatenated per-contig chain records
 
     def n(self, w: int) -> int:
         """Parse-time text length of this haplotype fasta (sum of contig
@@ -147,6 +195,7 @@ def scan_vcf_sample(
     )
     out = ScanResult()
     seq_start = 0
+    chain_id = 0  # auto-increment across contigs (consensus.cpp:210)
     sample_idx = vcf.sample_index(sample) if not ref_only else -1
     contig_list = contigs if contigs else vcf.contigs
     for contig in contig_list:
@@ -172,7 +221,19 @@ def scan_vcf_sample(
         ppos_after = 0
         bias = 0
         prange = (0, 0)
+        chain = (
+            _ChainBuilder(0)
+            if copts is not None and copts.chain
+            else None
+        )
+        chain_off = 0  # cumulative alt-ref length offset (fa_mod_off role)
         for rec in vcf.records_for_contig(contig):
+            if copts is not None and copts.site_filter is not None:
+                ok = bool(copts.site_filter(rec))
+                if copts.filter_exclude:
+                    ok = not ok
+                if not ok:
+                    continue  # filtered at read time (consensus.cpp:397-401)
             rlen = len(rec.alleles[0])
             r0, r1 = rec.pos, rec.pos + rlen
             if not (prange[1] <= r0):
@@ -226,6 +287,22 @@ def scan_vcf_sample(
                     copts, rec.alleles[0].encode(), allele_b, gt, gt_missing
                 )
             pieces.append(allele_b)
+            if chain is not None:
+                alen = len(allele_b)
+                if alen != rlen:
+                    ref_b = rec.alleles[0].encode()
+                    # indels usually share the leading base: extend the
+                    # ungapped block by 1 (consensus.cpp:921-933)
+                    if (
+                        ref_b[:1].lower() == allele_b[:1].lower()
+                        and rlen >= 1
+                        and alen >= 1
+                    ):
+                        chain.push(rec.pos + 1, rlen - 1,
+                                   rec.pos + 1 + chain_off, alen - 1)
+                    else:
+                        chain.push(rec.pos, rlen, rec.pos + chain_off, alen)
+                chain_off += alen - rlen
             ppos_after = rec.pos + rlen
             prange = (r0, r1)
         tail = ref_seq[ppos_after:ref_len]
@@ -236,6 +313,9 @@ def scan_vcf_sample(
             writer.finish_sequence()
         seq = np.frombuffer(b"".join(pieces), dtype=np.uint8)
         out.records.append((header, seq))
+        if chain is not None:
+            chain_id += 1
+            out.chain_text += chain.render(contig, ref_len, chain_id)
         seq_start += ref_len + w + bias
     out.mps_bytes = mps_buf.getvalue() if writer is not None else b""
     return out

@@ -1,0 +1,151 @@
+"""consensus -c chain output and -i/-e site filters.
+
+Chain semantics follow bcftools consensus (consensus.cpp:144-260): one
+chain per contig, ungapped blocks split at applied length-changing
+variants, leading-base-shared indels shift by one, back-to-back variants
+merge into the previous block's gaps.
+"""
+
+import numpy as np
+import pytest
+
+from pfbwtf_tpu.vcf.filter import compile_filter
+from pfbwtf_tpu.vcf.reader import VCFRecord, GTView
+
+
+def _rec(pos, ref, alts, qual=50.0, filt="PASS", gts=((1, 1),)):
+    return VCFRecord(
+        "chr1", pos, "id", [ref] + list(alts),
+        GTView(np.array(gts, dtype=np.int16)), qual=qual, filter=filt,
+    )
+
+
+def test_filter_type():
+    f = compile_filter('TYPE="snp"')
+    assert f(_rec(5, "A", ["T"]))
+    assert not f(_rec(5, "A", ["AT"]))
+    g = compile_filter('TYPE!="indel"')
+    assert g(_rec(5, "A", ["T"]))
+    assert not g(_rec(5, "AT", ["A"]))
+
+
+def test_filter_qual_pos_filter_combos():
+    f = compile_filter('QUAL>30 && FILTER="PASS"')
+    assert f(_rec(5, "A", ["T"], qual=31))
+    assert not f(_rec(5, "A", ["T"], qual=30))
+    assert not f(_rec(5, "A", ["T"], qual=99, filt="q10"))
+    # missing QUAL never matches a numeric comparison
+    assert not f(_rec(5, "A", ["T"], qual=float("nan")))
+    g = compile_filter('POS<=10 || TYPE="indel"')
+    assert g(_rec(9, "A", ["T"]))  # POS is 1-based: pos 9 -> POS 10
+    assert not g(_rec(10, "A", ["T"]))
+    assert g(_rec(99, "A", ["ATT"]))
+    h = compile_filter('!(REF="A")')
+    assert h(_rec(5, "C", ["T"]))
+    assert not h(_rec(5, "A", ["T"]))
+
+
+def test_filter_errors():
+    from pfbwtf_tpu.utils.errors import PfbwtError
+
+    with pytest.raises(PfbwtError):
+        compile_filter("TYPE +")
+    with pytest.raises(PfbwtError):
+        compile_filter('INFO/DP>3')(_rec(5, "A", ["T"]))
+
+
+def _write_case(tmp_path, ref_seq, vcf_lines):
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{ref_seq}\n")
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        + "".join(vcf_lines)
+    )
+    return str(fa), str(vcf)
+
+
+def test_chain_output(tmp_path):
+    # ref: 30 bp; one deletion sharing the leading base, one insertion
+    ref = "ACGTACGTACGTACGTACGTACGTACGTAC"
+    lines = [
+        "chr1\t5\t.\tACG\tA\t50\tPASS\t.\tGT\t1|1\n",   # del (pos 4, 0-based)
+        "chr1\t15\t.\tG\tGTT\t50\tPASS\t.\tGT\t1|1\n",  # ins (pos 14)
+    ]
+    fa, vcf = _write_case(tmp_path, ref, lines)
+    from pfbwtf_tpu.cli.consensus import main as cli
+
+    out = tmp_path / "c.fa"
+    chain = tmp_path / "c.chain"
+    rc = cli([vcf, "-f", fa, "-s", "S", "-H", "1",
+              "-o", str(out), "-c", str(chain)])
+    assert rc == 0
+    cons = out.read_text().splitlines()[1]
+    # deletion removes 2 bp, insertion adds 2 bp
+    assert len(cons) == len(ref)
+    text = chain.read_text()
+    lines_out = [l for l in text.splitlines() if l]
+    # chain header: score chr ref_end + 0 ref_end chr alt_end + 0 alt_end id
+    hdr = lines_out[0].split()
+    assert hdr[0] == "chain"
+    assert hdr[2] == "chr1" and hdr[3] == str(len(ref))
+    assert hdr[8] == str(len(cons))
+    assert hdr[-1] == "1"
+    # blocks: leading-base-shared del -> block [0,5), gap ref 2 alt 0;
+    # leading-base-shared ins -> block [7,15), gap ref 0 alt 2; tail 15
+    assert lines_out[1].split() == ["5", "2", "0"]
+    assert lines_out[2].split() == ["8", "0", "2"]
+    assert lines_out[3].split() == ["15"]
+
+
+def test_chain_back_to_back_merge(tmp_path):
+    ref = "A" * 20
+    lines = [
+        # del sharing the leading base: push(3, 2, ..) -> ref_last = 5
+        "chr1\t3\t.\tAAA\tA\t50\tPASS\t.\tGT\t1|1\n",
+        # non-shared-leading-base del right after: push(5, 2, ..) with
+        # ref_start == ref_last -> merges into the previous block's gaps
+        "chr1\t6\t.\tAA\tC\t50\tPASS\t.\tGT\t1|1\n",
+    ]
+    fa, vcf = _write_case(tmp_path, ref, lines)
+    from pfbwtf_tpu.cli.consensus import main as cli
+
+    out = tmp_path / "c.fa"
+    chain = tmp_path / "c.chain"
+    assert cli([vcf, "-f", fa, "-s", "S", "-H", "1", "-o", str(out),
+                "-c", str(chain)]) == 0
+    lines_out = [l for l in chain.read_text().splitlines() if l]
+    assert len(lines_out) == 3  # header + 1 merged block + tail
+    assert lines_out[1].split() == ["3", "4", "1"]
+    assert lines_out[2].split() == ["13"]
+
+
+def test_include_exclude_filters_e2e(tmp_path):
+    ref = "ACGTACGTACGTACGTACGT"
+    lines = [
+        "chr1\t2\t.\tC\tG\t50\tPASS\t.\tGT\t1|1\n",       # snp
+        "chr1\t6\t.\tCGT\tC\t50\tPASS\t.\tGT\t1|1\n",     # del
+        "chr1\t12\t.\tG\tT\t10\tq10\t.\tGT\t1|1\n",       # low-qual snp
+    ]
+    fa, vcf = _write_case(tmp_path, ref, lines)
+    from pfbwtf_tpu.cli.consensus import main as cli
+
+    # include only snps: deletion not applied
+    out1 = tmp_path / "snps.fa"
+    assert cli([vcf, "-f", fa, "-s", "S", "-H", "1", "-o", str(out1),
+                "-i", 'TYPE="snp"']) == 0
+    got1 = out1.read_text().splitlines()[1]
+    # direct expectation: snp at pos1 C->G, snp at pos11 G->T, no del
+    want1 = list(ref)
+    want1[1] = "G"
+    want1[11] = "T"
+    assert got1 == "".join(want1)
+    # exclude low-qual: only PASS records applied
+    out2 = tmp_path / "hq.fa"
+    assert cli([vcf, "-f", fa, "-s", "S", "-H", "1", "-o", str(out2),
+                "-e", "QUAL<30"]) == 0
+    got2 = out2.read_text().splitlines()[1]
+    want2 = ref[:1] + "G" + ref[2:6] + ref[8:]  # snp applied, del applied
+    assert got2 == want2
