@@ -87,24 +87,61 @@ def _wang64(lo, hi):
     return lo, hi
 
 
-def _kernel(x_ref, out_ref, *, w: int, p: int, cols: int):
-    ext = x_ref[:].astype(jnp.uint32)  # (ROWS, cols + LEAD)
-    klo = jnp.zeros((ROWS, cols), jnp.uint32)
-    khi = jnp.zeros((ROWS, cols), jnp.uint32)
-    # char t steps back occupies k-mer bits [2t, 2t+2); 2-bit chars never
-    # straddle the 32-bit boundary.  The shifted windows come from a
-    # hardware lane rotate + LANE-ALIGNED slice (offset LEAD = 128):
-    # unaligned overlapping slices (ext[:, LEAD-t : LEAD-t+cols]) compile
-    # but produce wrong values on real TPUs — interpret mode does not
-    # catch it.  Wraparound lanes land in columns < t <= HALO < LEAD and
-    # are sliced away.  The shift must be int32 (tpu.dynamic_rotate
-    # rejects the i64 that a bare Python int becomes under x64).
-    for t in range(w):
-        c = pltpu.roll(ext, jnp.int32(t), 1)[:, LEAD: LEAD + cols]
-        if 2 * t < 32:
-            klo = klo | (c << (2 * t))
-        else:
-            khi = khi | (c << (2 * t - 32))
+def _kmer_log_packed(ext_u32, w: int):
+    """k-mer register for every lane of the halo-extended block with
+    O(log w) lane rotates instead of w.
+
+    pack_{2^b}[i] packs chars [i-2^b+1 .. i] into 2*2^b bits; each doubling
+    is one rotate + shift + or.  The k-mer of width w then ORs one pack per
+    set bit of w, each rotated by the cumulative width below it.  For the
+    default w=10 that is 4 rotates (vs 10 in the per-offset form — the
+    round-1 kernel's dominant VMEM traffic).  Requires 2w <= 32 (the u32
+    register); rotate wraparound lands in lanes < HALO <= LEAD and is
+    sliced away by the caller.
+    """
+    packs = {1: ext_u32}
+    width = 1
+    while width * 2 <= w:
+        prev = packs[width]
+        packs[width * 2] = prev | (
+            pltpu.roll(prev, jnp.int32(width), 1) << (2 * width)
+        )
+        width *= 2
+    km = None
+    covered = 0
+    for b in sorted((1 << i for i in range(6)), reverse=True):
+        if w & b:
+            part = packs[b]
+            if covered:
+                part = pltpu.roll(part, jnp.int32(covered), 1) << (
+                    2 * covered
+                )
+            km = part if km is None else (km | part)
+            covered += b
+    return km
+
+
+def _kernel(halo_ref, body_ref, out_ref, *, w: int, p: int, cols: int):
+    # halo: (ROWS, LEAD) chars preceding each row; body: (ROWS, cols).
+    # Concatenating in VMEM replaces the round-1 design's host-side
+    # overlapping-row gather (an expensive dynamic gather in XLA) with two
+    # cheap strided block loads.
+    ext = jnp.concatenate(
+        (halo_ref[:], body_ref[:]), axis=1
+    ).astype(jnp.uint32)
+    if 2 * w <= 32:
+        klo = _kmer_log_packed(ext, w)[:, LEAD: LEAD + cols]
+        khi = jnp.zeros((ROWS, cols), jnp.uint32)
+    else:
+        klo = jnp.zeros((ROWS, cols), jnp.uint32)
+        khi = jnp.zeros((ROWS, cols), jnp.uint32)
+        # wide-window fallback: per-offset rotates (w > 16 is rare)
+        for t in range(w):
+            c = pltpu.roll(ext, jnp.int32(t), 1)[:, LEAD: LEAD + cols]
+            if 2 * t < 32:
+                klo = klo | (c << (2 * t))
+            else:
+                khi = khi | (c << (2 * t - 32))
     hlo, hhi = _wang64(klo, khi)
     # h mod p via 2**32 fold: (hi % p) * (2**32 % p) + lo % p, p < 2**15.
     # lax.rem, NOT jnp.mod: unsigned rem == mod, and jnp.mod's
@@ -126,17 +163,18 @@ def _kernel(x_ref, out_ref, *, w: int, p: int, cols: int):
 def _scan(padded, w: int, p: int, blk: int, interpret: bool):
     """padded: (LEAD + R*cols,) uint8 stream with a LEAD-char lead.
 
-    XLA gathers the stream into a (R, cols + LEAD) matrix whose row r
-    starts LEAD chars before stream position r*cols (overlapping halo
-    rows), so the kernel body is pure tiled vector compute — no manual
-    DMA, no (1, N) buffers, and every block dim is tile-aligned
-    (32 sublanes for uint8, lane dim a multiple of 128).
+    The stream reshapes to (R, cols) body rows; each row's LEAD-char halo
+    is the previous row's tail — one pad + slice, NO gather (the round-1
+    kernel fed an overlapping-row gather, which dominated its runtime).
+    Kernel blocks stay tile-aligned: 32 sublanes for uint8, lane dims
+    multiples of 128.
     """
     cols = blk // ROWS
     R = (padded.shape[0] - LEAD) // cols
-    rows_idx = jnp.arange(R, dtype=jnp.int32)[:, None] * cols
-    col_idx = jnp.arange(cols + LEAD, dtype=jnp.int32)[None, :]
-    X = padded[rows_idx + col_idx]  # row r covers stream[r*cols - LEAD ...]
+    body = padded[LEAD:].reshape(R, cols)
+    halo = jnp.concatenate(
+        (padded[:LEAD][None, :], body[:-1, cols - LEAD:]), axis=0
+    )
     grid = R // ROWS
 
     def idx(i):
@@ -147,13 +185,15 @@ def _scan(padded, w: int, p: int, blk: int, interpret: bool):
     return pl.pallas_call(
         partial(_kernel, w=w, p=p, cols=cols),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((ROWS, cols + LEAD), idx,
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((ROWS, LEAD), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, cols), idx, memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((ROWS, cols), idx,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, cols), jnp.int32),
         interpret=interpret,
-    )(X).reshape(-1)
+    )(halo, body).reshape(-1)
 
 
 def hash_scan_pallas(codes: np.ndarray, w: int, p: int, blk: int = 1 << 19,

@@ -33,7 +33,6 @@ from ..ops.parse import (
     build_stream,
     finalize_parse,
     normalize_records,
-    parse_stream_np,
 )
 from ..utils.errors import die
 
@@ -93,9 +92,14 @@ def load_or_generate_text(prefix: str, params: ParserParams):
 
 
 def merge_parse_prefixes(
-    prefixes: List[str], params: ParserParams
+    prefixes: List[str], params: ParserParams, backend=None
 ) -> ParseResult:
-    """merge_pfp core: fold all prefixes into one finalized parse."""
+    """merge_pfp core: fold all prefixes into one finalized parse.
+
+    The junction re-scan routes through the backend-selecting engine, so
+    on an accelerator the merged collection's cut scan runs on device
+    (the reference's operator+= fold is host-serial, merge_pfp.cpp:97-152).
+    """
     chunks = []
     doc_names: List[str] = []
     doc_starts: List[int] = []
@@ -107,7 +111,9 @@ def merge_parse_prefixes(
         doc_starts.extend(int(s) + off for s in starts)
         off += C.shape[0]
     C = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
-    starts_arr, ends_arr = parse_stream_np(C, params)
+    from .. import engine
+
+    starts_arr, ends_arr = engine.parse_stream(C, params, backend)
     return finalize_parse(
         C,
         starts_arr,

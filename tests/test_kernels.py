@@ -91,3 +91,20 @@ def test_dict_suffix_sort_jax_matches_np():
     assert int(dwords_j) == dwords
     assert np.array_equal(word_np, np.asarray(word_j))
     assert np.array_equal(sa_np, np.asarray(sa_j))
+
+
+def test_pallas_scan_interpret_parity(rng):
+    """Pallas cut-scan kernel (interpret mode) vs the numpy oracle across
+    window widths incl. the log-packed (w<=16) and per-offset (w>16)
+    paths.  Real-chip lowering is validated separately (the documented
+    Mosaic hazards are invisible to interpret mode)."""
+    from pfbwtf_tpu.ops.hash import hash_scan_np
+    from pfbwtf_tpu.ops.pallas.hash_scan import hash_scan_pallas
+
+    n = (1 << 16) + 4096  # multiple of the 4096 block used below? padded
+    codes = rng.integers(0, 4, size=1 << 16, dtype=np.uint8)
+    chars = np.frombuffer(b"ACGT", np.uint8)[codes]
+    for w, p in ((10, 100), (1, 3), (16, 511), (17, 97), (32, 97)):
+        got = hash_scan_pallas(codes, w, p, blk=1 << 16, interpret=True)
+        _, _, want = hash_scan_np(chars, w, p)
+        assert np.array_equal(got, want), (w, p)
