@@ -290,7 +290,7 @@ def global_max(mesh, axis, blk) -> int:
         np.asarray(
             _program("max", _max_body, mesh, axis, 1, 1,
                      n_dev=n_dev, cap=cap)(blk)
-        )[0]
+        ).flat[0]
     )
 
 
