@@ -31,6 +31,7 @@ from .suffix import (
     _HB1,
     _HB2,
     segmented_suffix_hashes_jax,
+    sort_impl,
 )
 from ..constants import EndOfDict, EndOfWord
 
@@ -44,10 +45,11 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
 
 def assemble_core(
     dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
-    w: int, nsuf_b: int, total_b: int
+    w: int, nsuf_b: int, total_b: int, impl: str = "lax"
 ):
     """Traceable emission-sort assembly body — callable standalone (below)
-    or inlined into the fused whole-pipeline program (ops/fused.py)."""
+    or inlined into the fused whole-pipeline program (ops/fused.py).
+    ``impl`` selects the sort engine (suffix.sort_impl)."""
     D = dict_flat.shape[0]
     dwords = occs.shape[0]
     iota = jnp.arange(D, dtype=jnp.int64)
@@ -60,7 +62,7 @@ def assemble_core(
     sym = dict_flat.astype(jnp.int64) + (dwords + 1)
     sym = jnp.where(is_eow, 1 + word_id, sym)
     sym = jnp.where(dict_flat == EndOfDict, 0, sym)
-    sa_all, _ = _doubling_jax(sym)
+    sa_all, _ = _doubling_jax(sym, impl=impl)
     # suffix length = distance to the next separator (reverse cummin)
     sep_idx = jnp.where(is_sep, iota, D)
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
@@ -103,10 +105,24 @@ def assemble_core(
         ilist.shape[0] - 1,
     )
     E_j = ilist[slot]
-    # final order: one int64 key (gid, j); invalid emissions sort last
-    key = gid[E_suffix] * jnp.int64(total_b + 1) + E_j
-    key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
-    order = jnp.argsort(key)
+    # final order: (gid, j); invalid emissions sort last.  lax: one packed
+    # int64 key; radix: two int32 LSD phases (no emulated-u64 compares)
+    if impl == "radix" and total_b < 2**31 - 2:
+        from .radix import key_bits, radix_argsort_pair
+
+        hi = jnp.where(
+            e_valid, gid[E_suffix].astype(jnp.int32), jnp.int32(nsuf_b)
+        )
+        order = radix_argsort_pair(
+            hi,
+            E_j.astype(jnp.int32),
+            nbits_hi=key_bits(nsuf_b),
+            nbits_lo=key_bits(int(ilist.shape[0])),
+        ).astype(jnp.int64)
+    else:
+        key = gid[E_suffix] * jnp.int64(total_b + 1) + E_j
+        key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
+        order = jnp.argsort(key)
     s_ord = E_suffix[order]
     j_ord = E_j[order]
     pos_ord = sa_kept[s_ord]
@@ -127,9 +143,9 @@ def assemble_core(
     return bwtc, sa_vals
 
 
-_assemble_device = partial(jax.jit, static_argnames=("w", "nsuf_b", "total_b"))(
-    assemble_core
-)
+_assemble_device = partial(
+    jax.jit, static_argnames=("w", "nsuf_b", "total_b", "impl")
+)(assemble_core)
 
 
 def assemble_bwt_jax(
@@ -177,6 +193,7 @@ def assemble_bwt_jax(
         w,
         nsuf_b,
         total_b,
+        sort_impl(),
     )
     bwtc = np.asarray(bwtc)[:total]
     run_start = np.empty(total, dtype=bool)

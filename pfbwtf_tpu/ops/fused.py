@@ -296,7 +296,7 @@ _parse_jits = {}
 def _final_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
     nphrases, D, dict_total, nsuf_true, total_true,
-    w: int, dict_b: int, nsuf_b: int, total_b: int,
+    w: int, dict_b: int, nsuf_b: int, total_b: int, impl: str = "lax",
 ):
     import jax.numpy as jnp
 
@@ -324,11 +324,11 @@ def _final_core(
     dict_flat = jnp.where(pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))
 
     bwlast, ilist, bwsai, _ = parse_bwt_core(
-        parse_ranks.astype(jnp.int64), last, sai, nphrases
+        parse_ranks.astype(jnp.int64), last, sai, nphrases, impl=impl
     )
     bwtc, sa_vals = assemble_core(
         dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
-        w, nsuf_b, total_b,
+        w, nsuf_b, total_b, impl=impl,
     )
     checksum = jnp.sum(bwtc.astype(jnp.uint64)) + jnp.sum(sa_vals)
     return bwtc, sa_vals, checksum
@@ -406,12 +406,14 @@ def pfbwt_fused_device(
     nsuf_b = _bucket(nsuf)
     total_b = _bucket(total)
 
-    key3 = (w, dict_b, nsuf_b, total_b, nph_b)
+    from .suffix import sort_impl
+
+    key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl())
     if key3 not in _final_jits:
         _final_jits[key3] = jax.jit(
             partial(
                 _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
-                total_b=total_b,
+                total_b=total_b, impl=sort_impl(),
             )
         )
     bwt_d, sa_d, checksum_d = _final_jits[key3](

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..utils.errors import die
-from .suffix import suffix_array_ints_np
+from .suffix import sort_impl, suffix_array_ints_np
 
 
 def _parse_sa_host(seq):
@@ -40,7 +40,7 @@ class ParseBWT:
     bwt_sym: np.ndarray  # parse-BWT symbols (phrase ranks, 0 = EOS), n+1
 
 
-def parse_bwt_core(ranks_p, last_p, sai_p, n):
+def parse_bwt_core(ranks_p, last_p, sai_p, n, impl: str = "lax"):
     """Traceable parse-BWT body: doubling SA + wrap-gather permutes +
     stable-argsort ilist.  ``ranks_p`` is padded to a bucket grid; a
     strictly descending sentinel tail is placed AFTER the terminator
@@ -50,7 +50,7 @@ def parse_bwt_core(ranks_p, last_p, sai_p, n):
     """
     import jax.numpy as jnp
 
-    from .suffix import _doubling_jax
+    from .suffix import _doubling_jax, sort_impl
 
     m = ranks_p.shape[0]  # bucketed; true length n <= m
     idx = jnp.arange(m + 1, dtype=jnp.int64)
@@ -60,7 +60,7 @@ def parse_bwt_core(ranks_p, last_p, sai_p, n):
         ranks_p[jnp.clip(idx, 0, m - 1)],
         jnp.where(idx == n, 0, big - idx),
     )
-    SA, _ = _doubling_jax(seq)
+    SA, _ = _doubling_jax(seq, impl=impl)
     zero = SA == 0
     bwlast = jnp.where(
         zero, jnp.uint8(0), last_p[jnp.clip((SA - 2) % n, 0, m - 1)]
@@ -74,8 +74,18 @@ def parse_bwt_core(ranks_p, last_p, sai_p, n):
     sym = sym.at[0].set(ranks_p[jnp.clip(n - 1, 0, m - 1)])
     # padded rows (positions n+1..m in SA order) must sort last
     valid = idx <= n
-    sym = jnp.where(valid, sym, big)
-    ilist = jnp.argsort(sym, stable=True)
+    if impl == "radix" and m < 2**31 - 4:
+        from .radix import key_bits, radix_argsort_u32
+
+        # ranks <= n <= m, so m+1 is a past-every-rank sentinel and the
+        # key fits int32 — radix is stable, matching argsort(stable=True)
+        sym = jnp.where(valid, sym, jnp.int64(m + 1))
+        ilist = radix_argsort_u32(
+            sym.astype(jnp.int32), nbits=key_bits(m + 1)
+        ).astype(jnp.int64)
+    else:
+        sym = jnp.where(valid, sym, big)
+        ilist = jnp.argsort(sym, stable=True)
     return bwlast, ilist, bwsai, sym
 
 
@@ -93,7 +103,7 @@ def bwt_of_parse_device(
     import jax
 
     if _pb_jit is None:
-        _pb_jit = jax.jit(parse_bwt_core)
+        _pb_jit = jax.jit(parse_bwt_core, static_argnames=("impl",))
 
     parse_ranks = np.asarray(parse_ranks, dtype=np.int64)
     n = parse_ranks.shape[0]
@@ -114,6 +124,7 @@ def bwt_of_parse_device(
         pad(np.asarray(last, dtype=np.uint8), np.uint8),
         pad(sai, np.uint64),
         np.int64(n),
+        impl=sort_impl(),
     )
     bwlast = np.asarray(bwlast)[: n + 1].astype(np.uint8)
     ilist = np.asarray(ilist)[: n + 1].astype(np.int64)

@@ -18,6 +18,7 @@ Two entry points:
   polynomial hashes (`suffix_group_ids`).
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -27,6 +28,13 @@ import jax.numpy as jnp
 from ..constants import EndOfWord, EndOfDict
 
 _U64 = np.uint64
+
+
+def sort_impl() -> str:
+    """Device sort engine for the doubling/emission sorts: ``lax``
+    (bitonic lax.sort) or ``radix`` (ops/radix.py LSD counting sort).
+    Read at TRACE time — set PFBWT_SORT_IMPL before the first jitted call."""
+    return os.environ.get("PFBWT_SORT_IMPL", "lax").lower()
 
 # -- numpy reference path ----------------------------------------------------
 
@@ -185,21 +193,26 @@ def suffix_group_ids_np(dict_flat, sa_kept, suf_len, verify: bool = True):
 # -- JAX path ----------------------------------------------------------------
 
 
-@jax.jit
-def _doubling_jax(keys):
+@partial(jax.jit, static_argnames=("impl",))
+def _doubling_jax(keys, impl: str = "lax"):
     """Prefix doubling on device with early exit via lax.while_loop.
 
     All shapes are static (the carry is the dense rank array); the loop ends
     as soon as ranks are all distinct, after at most ceil(log2 n) rounds.
-    Each round fuses the (rank, rank[i+k]) pair into ONE int64 sort key —
-    rank*(n+1) + key2+1, collision-free since both < n+1 — so lax.sort
-    compares a single operand per element instead of the reference's
-    sequential bucket scans or a two-operand lexicographic sort.  Falls
-    back to the two-key form above ~3e9 elements where the pack would
-    overflow int64 (guarded by the caller's width checks long before).
+
+    ``impl='lax'``: each round fuses the (rank, rank[i+k]) pair into ONE
+    int64 sort key — rank*(n+1) + key2+1, collision-free since both < n+1 —
+    so lax.sort compares a single operand per element instead of the
+    reference's sequential bucket scans or a two-operand lexicographic sort.
+
+    ``impl='radix'``: each round is a stable LSD counting sort over the
+    (rank, key2+1) pair as two int32 keys (ops/radix.py) — no 64-bit pack
+    at all, since TPU u64 arithmetic is emulated.  Requires n < 2**31
+    (callers' width guards fire long before).
     """
     n = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int64)
+    use_radix = impl == "radix" and n < 2**31 - 2
 
     def densify1(order, ck):
         cks = ck[order]
@@ -207,6 +220,19 @@ def _doubling_jax(keys):
             (
                 jnp.zeros(1, jnp.int64),
                 (cks[1:] != cks[:-1]).astype(jnp.int64),
+            )
+        )
+        new_rank = jnp.cumsum(changed)
+        return jnp.zeros(n, jnp.int64).at[order].set(new_rank)
+
+    def densify2(order, r, k2):
+        r_s, k_s = r[order], k2[order]
+        changed = jnp.concatenate(
+            (
+                jnp.zeros(1, jnp.int64),
+                ((r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])).astype(
+                    jnp.int64
+                ),
             )
         )
         new_rank = jnp.cumsum(changed)
@@ -220,22 +246,53 @@ def _doubling_jax(keys):
         rank, k = carry
         return (jnp.max(rank) < n - 1) & (k < n)
 
-    def body(carry):
-        rank, k = carry
-        key2 = jnp.where(idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], -1)
-        ckey = rank * jnp.int64(n + 1) + (key2 + 1)
-        order = jnp.argsort(ckey)
-        rank = densify1(order, ckey)
-        return rank, k * 2
+    if use_radix:
+        from .radix import key_bits, radix_argsort_pair
+
+        nb = key_bits(n)
+
+        def body(carry):
+            rank, k = carry
+            key2 = jnp.where(
+                idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], -1
+            )
+            order = radix_argsort_pair(
+                rank.astype(jnp.int32),
+                (key2 + 1).astype(jnp.int32),
+                nbits_hi=nb,
+                nbits_lo=nb,
+            ).astype(jnp.int64)
+            rank = densify2(order, rank, key2)
+            return rank, k * 2
+
+    else:
+
+        def body(carry):
+            rank, k = carry
+            key2 = jnp.where(
+                idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], -1
+            )
+            ckey = rank * jnp.int64(n + 1) + (key2 + 1)
+            order = jnp.argsort(ckey)
+            rank = densify1(order, ckey)
+            return rank, k * 2
 
     rank, _ = jax.lax.while_loop(cond, body, (rank, jnp.int64(1)))
-    return jnp.argsort(rank), rank
+    if use_radix:
+        from .radix import radix_argsort_u32
+
+        final = radix_argsort_u32(rank.astype(jnp.int32), nbits=nb).astype(
+            jnp.int64
+        )
+    else:
+        final = jnp.argsort(rank)
+    return final, rank
 
 
 def suffix_array_ints_jax(seq) -> jnp.ndarray:
     """SA of an integer sequence whose last element is the unique minimum."""
     seq = jnp.asarray(seq, dtype=jnp.int64)
-    order, _ = _doubling_jax(seq)
+    order, _ = _doubling_jax(seq, impl=sort_impl())
     return order
 
 
@@ -251,5 +308,5 @@ def dict_suffix_sort_jax(dict_flat):
     sym = dict_flat.astype(jnp.int64) + (dwords + 1)
     sym = jnp.where(is_eow, 1 + word_id, sym)
     sym = jnp.where(dict_flat == EndOfDict, 0, sym)
-    sa, rank = _doubling_jax(sym)
+    sa, rank = _doubling_jax(sym, impl=sort_impl())
     return sa, rank, word_id, dwords
