@@ -11,7 +11,7 @@ from ..vcf.pipeline import VcfToBwtConfig, vcf_to_bwt
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vcf_to_bwt")
     ap.add_argument("fasta", help="reference fasta file")
-    ap.add_argument("vcf", nargs="+", help="vcf files with haplotype panel")
+    ap.add_argument("vcf", nargs="+", help="vcf/bcf files with haplotype panel")
     ap.add_argument("--samples", "-S",
                     help="file of newline-delimited samples (default: all)")
     ap.add_argument("--threads", "-t", type=int, default=1)

@@ -1,8 +1,10 @@
-"""Minimal VCF reader (vcf_scanner.hpp equivalent).
+"""Minimal VCF/BCF reader (vcf_scanner.hpp equivalent).
 
 The reference links htslib for VCF/BCF decoding (vcf_scanner.hpp:9-13).
-This environment has no htslib/pysam, so we parse the VCF text format
-directly; .vcf.gz (bgzip = concatenated gzip members) streams through
+This environment has no htslib/pysam, so both formats are decoded
+directly: VCF text line-by-line, and BCF2 (the binary container, spec
+section 6 of VCFv4.x) record-by-record from its typed-value encoding;
+.vcf.gz / .bcf (bgzip = concatenated gzip members) stream through
 Python's zlib-backed gzip module.
 
 Scalability design (unlike htslib's record-at-a-time API, the pipeline
@@ -204,6 +206,58 @@ def _open_lines(fname: str):
     return open(fname, "rb")
 
 
+# -- BCF2 typed-value decoding (spec: VCFv4.x section 6.3) -------------------
+
+_BCF_MISSING = {1: -0x80, 2: -0x8000, 3: -0x80000000}
+_BCF_EOV = {1: -0x7F, 2: -0x7FFF, 3: -0x7FFFFFFF}
+_BCF_WIDTH = {1: 1, 2: 2, 3: 4, 5: 4, 7: 1}
+_BCF_DTYPE = {1: "<i1", 2: "<i2", 3: "<i4", 5: "<f4", 7: "S1"}
+
+
+class _BcfBuf:
+    """Cursor over one record's shared/indiv byte block."""
+
+    __slots__ = ("b", "o")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.o = 0
+
+    def take(self, n: int) -> bytes:
+        v = self.b[self.o : self.o + n]
+        self.o += n
+        return v
+
+    def typed_header(self):
+        """Returns (type, count) resolving the 15 = long-count escape."""
+        d = self.b[self.o]
+        self.o += 1
+        t, cnt = d & 0x0F, d >> 4
+        if cnt == 15:
+            cnt = int(self.typed_ints()[0])
+        return t, cnt
+
+    def typed_ints(self) -> np.ndarray:
+        """One typed value decoded as an int64 array (int types only)."""
+        t, cnt = self.typed_header()
+        if cnt == 0:
+            return np.zeros(0, np.int64)
+        raw = np.frombuffer(
+            self.take(cnt * _BCF_WIDTH[t]), dtype=_BCF_DTYPE[t]
+        )
+        return raw.astype(np.int64)
+
+    def typed_string(self) -> bytes:
+        t, cnt = self.typed_header()
+        data = self.take(cnt * _BCF_WIDTH[t])
+        return data if t == 7 else b""
+
+    def skip_typed(self):
+        t, cnt = self.typed_header()
+        if t != 0:
+            self.take(cnt * _BCF_WIDTH[t])
+
+
 class VCF:
     def __init__(self, fname: str):
         self.fname = fname
@@ -213,66 +267,211 @@ class VCF:
         self._parse(fname)
 
     def _parse(self, fname: str):
+        with _open_lines(fname) as fp:
+            head = fp.peek(3)[:3] if hasattr(fp, "peek") else b""
+            if head == b"BCF":
+                self._parse_bcf(fp)
+            else:
+                self._parse_text(fp)
+
+    def _parse_text(self, fp):
         contig_seen: List[str] = []
         builders: dict = {}
-        with _open_lines(fname) as fp:
-            for raw in fp:
-                line = raw.rstrip(b"\n").rstrip(b"\r")
-                if not line:
-                    continue
-                if line.startswith(b"##"):
-                    if line.startswith(b"##contig="):
-                        inner = line[len(b"##contig=<"):].rstrip(b">")
-                        for fieldkv in inner.split(b","):
-                            if fieldkv.startswith(b"ID="):
-                                self.contigs.append(fieldkv[3:].decode())
-                    continue
-                if line.startswith(b"#CHROM"):
-                    cols = line.split(b"\t")
-                    self.samples = (
-                        [c.decode() for c in cols[9:]]
-                        if len(cols) > 9
-                        else []
-                    )
-                    continue
+        for raw in fp:
+            line = raw.rstrip(b"\n").rstrip(b"\r")
+            if not line:
+                continue
+            if line.startswith(b"##"):
+                if line.startswith(b"##contig="):
+                    inner = line[len(b"##contig=<"):].rstrip(b">")
+                    for fieldkv in inner.split(b","):
+                        if fieldkv.startswith(b"ID="):
+                            self.contigs.append(fieldkv[3:].decode())
+                continue
+            if line.startswith(b"#CHROM"):
                 cols = line.split(b"\t")
-                if len(cols) < 8:
+                self.samples = (
+                    [c.decode() for c in cols[9:]]
+                    if len(cols) > 9
+                    else []
+                )
+                continue
+            cols = line.split(b"\t")
+            if len(cols) < 8:
+                continue
+            contig = cols[0].decode()
+            b = builders.get(contig)
+            if b is None:
+                b = builders[contig] = _ContigBuilder()
+                contig_seen.append(contig)
+            b.pos.append(int(cols[1]) - 1)
+            b.ids.append(cols[2])
+            alts = cols[4] if cols[4] not in (b".", b"") else b""
+            b.alleles.append(cols[3] + b"," + alts if alts else cols[3])
+            try:
+                b.quals.append(float(cols[5]))
+            except ValueError:
+                b.quals.append(float("nan"))
+            b.filters.append(cols[6])
+            fmt = cols[8].split(b":") if len(cols) > 8 else []
+            gt_idx = fmt.index(b"GT") if b"GT" in fmt else -1
+            row: List[int] = []
+            for s in cols[9:]:
+                if gt_idx < 0:
+                    row.extend((-1, -1))
                     continue
-                contig = cols[0].decode()
-                b = builders.get(contig)
-                if b is None:
-                    b = builders[contig] = _ContigBuilder()
-                    contig_seen.append(contig)
-                b.pos.append(int(cols[1]) - 1)
-                b.ids.append(cols[2])
-                alts = cols[4] if cols[4] not in (b".", b"") else b""
-                b.alleles.append(cols[3] + b"," + alts if alts else cols[3])
-                try:
-                    b.quals.append(float(cols[5]))
-                except ValueError:
-                    b.quals.append(float("nan"))
-                b.filters.append(cols[6])
-                fmt = cols[8].split(b":") if len(cols) > 8 else []
-                gt_idx = fmt.index(b"GT") if b"GT" in fmt else -1
-                row: List[int] = []
-                for s in cols[9:]:
-                    if gt_idx < 0:
-                        row.extend((-1, -1))
-                        continue
-                    parts = s.split(b":")
-                    gt_str = parts[gt_idx] if gt_idx < len(parts) else b"."
-                    hap = []
-                    for tok in gt_str.replace(b"|", b"/").split(b"/"):
-                        try:
-                            hap.append(int(tok))
-                        except ValueError:
-                            hap.append(-1)
-                    # haploid record: reuse the single value
-                    # (vcf_scanner.hpp:34-36)
+                parts = s.split(b":")
+                gt_str = parts[gt_idx] if gt_idx < len(parts) else b"."
+                hap = []
+                for tok in gt_str.replace(b"|", b"/").split(b"/"):
+                    try:
+                        hap.append(int(tok))
+                    except ValueError:
+                        hap.append(-1)
+                # haploid record: reuse the single value
+                # (vcf_scanner.hpp:34-36)
+                if len(hap) == 1:
+                    hap = [hap[0], hap[0]]
+                row.extend(hap[:2])
+            b.gts.append(row)
+        nsamples = len(self.samples)
+        for contig, b in builders.items():
+            self._store[contig] = b.finish(nsamples)
+        if not self.contigs:
+            self.contigs = contig_seen
+
+    def _parse_bcf(self, fp):
+        """BCF2 record stream -> the same columnar stores as the text path.
+
+        Clean-room decode of the binary container (VCFv4.x spec section 6;
+        the reference gets this via htslib, vcf_scanner.hpp:9-13): header
+        dictionaries (FILTER/INFO/FORMAT string dict with implicit PASS=0,
+        contig dict, both honoring explicit IDX= keys), then per record the
+        shared block (chrom/pos/qual/ID/alleles/FILTER) and the indiv
+        block's GT vectors with missing/END_OF_VECTOR sentinel handling.
+        """
+        import struct
+
+        magic = fp.read(5)
+        if magic[:4] != b"BCF\x02":
+            raise ValueError(f"unsupported BCF version {magic!r}")
+        (l_text,) = struct.unpack("<I", fp.read(4))
+        header = fp.read(l_text).rstrip(b"\x00")
+
+        str_dict: dict = {0: b"PASS"}
+        contig_dict: dict = {}
+        next_str, next_ctg = 1, 0
+
+        def _fields(line: bytes) -> dict:
+            inner = line[line.index(b"<") + 1 :].rstrip(b">")
+            out = {}
+            for kv in inner.split(b","):
+                if b"=" in kv:
+                    k, v = kv.split(b"=", 1)
+                    out[k] = v.strip(b'"')
+            return out
+
+        for line in header.split(b"\n"):
+            if line.startswith((b"##FILTER=", b"##INFO=", b"##FORMAT=")):
+                f = _fields(line)
+                if f.get(b"ID") == b"PASS":
+                    continue  # implicit index 0
+                if b"IDX" in f:
+                    idx = int(f[b"IDX"])
+                else:
+                    idx, next_str = next_str, next_str + 1
+                if idx not in str_dict:
+                    str_dict[idx] = f.get(b"ID", b"?")
+                next_str = max(next_str, idx + 1)
+            elif line.startswith(b"##contig="):
+                f = _fields(line)
+                if b"IDX" in f:
+                    idx = int(f[b"IDX"])
+                else:
+                    idx, next_ctg = next_ctg, next_ctg + 1
+                contig_dict[idx] = f.get(b"ID", b"?").decode()
+                next_ctg = max(next_ctg, idx + 1)
+            elif line.startswith(b"#CHROM"):
+                cols = line.split(b"\t")
+                self.samples = (
+                    [c.decode() for c in cols[9:]] if len(cols) > 9 else []
+                )
+        self.contigs = [contig_dict[i] for i in sorted(contig_dict)]
+        gt_key = next(
+            (i for i, v in str_dict.items() if v == b"GT"), -1
+        )
+
+        builders: dict = {}
+        contig_seen: List[str] = []
+        while True:
+            hdr8 = fp.read(8)
+            if len(hdr8) < 8:
+                break
+            l_shared, l_indiv = struct.unpack("<II", hdr8)
+            shared = _BcfBuf(fp.read(l_shared))
+            indiv = _BcfBuf(fp.read(l_indiv))
+            chrom, pos, _rlen = struct.unpack("<iii", shared.take(12))
+            (qual_bits,) = struct.unpack("<I", shared.take(4))
+            qual = (
+                float("nan")
+                if qual_bits == 0x7F800001
+                else struct.unpack("<f", qual_bits.to_bytes(4, "little"))[0]
+            )
+            (n_ai,) = struct.unpack("<I", shared.take(4))
+            n_info, n_allele = n_ai & 0xFFFF, n_ai >> 16
+            (n_fs,) = struct.unpack("<I", shared.take(4))
+            n_sample, n_fmt = n_fs & 0xFFFFFF, n_fs >> 24
+            vid = shared.typed_string() or b"."
+            alleles = [shared.typed_string() for _ in range(n_allele)]
+            filt_idx = shared.typed_ints()
+            filt = (
+                b";".join(str_dict.get(int(i), b"?") for i in filt_idx)
+                if filt_idx.size
+                else b"."
+            )
+            # INFO is not consumed by the pipeline; skip key/value pairs
+            for _ in range(n_info):
+                shared.typed_ints()
+                shared.skip_typed()
+
+            row: List[int] = []
+            got_gt = False
+            for _ in range(n_fmt):
+                key = int(indiv.typed_ints()[0])
+                t, cnt = indiv.typed_header()
+                data = indiv.take(n_sample * cnt * _BCF_WIDTH[t])
+                if key != gt_key or t not in (1, 2, 3) or cnt == 0:
+                    continue
+                got_gt = True
+                arr = (
+                    np.frombuffer(data, dtype=_BCF_DTYPE[t])
+                    .astype(np.int64)
+                    .reshape(n_sample, cnt)
+                )
+                eov = _BCF_EOV[t]
+                for s in range(n_sample):
+                    vals = [int(v) for v in arr[s] if int(v) != eov]
+                    hap = [(v >> 1) - 1 if v > 0 else -1 for v in vals]
                     if len(hap) == 1:
-                        hap = [hap[0], hap[0]]
+                        hap = [hap[0], hap[0]]  # vcf_scanner.hpp:34-36
+                    elif not hap:
+                        hap = [-1, -1]
                     row.extend(hap[:2])
-                b.gts.append(row)
+            if not got_gt:
+                row = [-1, -1] * n_sample
+
+            contig = contig_dict.get(chrom, str(chrom))
+            b = builders.get(contig)
+            if b is None:
+                b = builders[contig] = _ContigBuilder()
+                contig_seen.append(contig)
+            b.pos.append(pos)
+            b.ids.append(vid)
+            b.alleles.append(b",".join(a for a in alleles if a))
+            b.quals.append(qual)
+            b.filters.append(filt)
+            b.gts.append(row)
+
         nsamples = len(self.samples)
         for contig, b in builders.items():
             self._store[contig] = b.finish(nsamples)
