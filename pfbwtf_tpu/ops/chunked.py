@@ -179,8 +179,10 @@ def parse_fasta_chunked(fname: str, params, chunk: int = 1 << 24,
 
         check_phrase_count(starts.shape[0])
         T = np.memmap(tpath, dtype=np.uint8, mode="r")
+        # impl='host': the device dedup builds O(nphrases * maxlen) rows in
+        # RAM/HBM, defeating this path's bounded-memory contract
         dict_starts, dict_lens, occs, parse_ranks = _dedup_and_rank(
-            T, starts, ends
+            T, starts, ends, impl="host"
         )
         last = np.asarray(T[ends - w])
         sai = ends.astype(np.uint64)

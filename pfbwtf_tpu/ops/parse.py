@@ -195,9 +195,16 @@ _HB2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _substring_hashes(T: np.ndarray, starts, lens, base):
-    """Polynomial hash of T[s:s+l] per (s, l), mod 2**64, via prefix sums."""
+    """Polynomial hash of T[s:s+l] per (s, l), mod 2**64, via prefix sums.
+
+    Above _HASH_CHUNK_LIMIT characters the computation switches to the
+    chunked variant: the one-shot form materializes three text-length
+    uint64 arrays (24 bytes/char — at 1 GB text that alone is 24 GB,
+    breaking the -m bounded-memory contract, file_wrappers.hpp:36-124)."""
+    n = T.shape[0]
+    if n > _HASH_CHUNK_LIMIT:
+        return _substring_hashes_chunked(T, starts, lens, base)
     c = T.astype(np.uint64)
-    n = c.shape[0]
     b = np.full(n, base, dtype=np.uint64)
     b[0] = np.uint64(1)
     powers = np.multiply.accumulate(b)
@@ -211,7 +218,58 @@ def _substring_hashes(T: np.ndarray, starts, lens, base):
     return (G[s] - G[s + np.asarray(lens, dtype=np.int64)]) * inv_powers[s]
 
 
-def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+_HASH_CHUNK_LIMIT = 1 << 26  # 64 MB
+
+
+def _pow_u64(base: int, exp: np.ndarray) -> np.ndarray:
+    """base**exp mod 2**64, vectorized square-and-multiply (O(log max_exp)
+    passes over the exponent array — exponents are text positions)."""
+    e = np.asarray(exp, dtype=np.uint64)
+    acc = np.ones(e.shape[0], dtype=np.uint64)
+    b = int(base) & 0xFFFFFFFFFFFFFFFF  # python int: silent 2**64 wrap
+    nbits = int(e.max(initial=0)).bit_length()
+    for bit in range(nbits):
+        mask = ((e >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+        acc = np.where(mask, acc * np.uint64(b), acc)
+        b = (b * b) & 0xFFFFFFFFFFFFFFFF
+    return acc
+
+
+def _substring_hashes_chunked(T, starts, lens, base, chunk: int = 1 << 24):
+    """Same hashes as _substring_hashes with O(chunk + nphrases) memory:
+    one backward pass over fixed-size text chunks carries the suffix
+    accumulator G and harvests G at the query positions; the B^{-s}
+    normalization comes from vectorized binary exponentiation instead of a
+    text-length cumprod.  T may be a memmap — each chunk is touched once.
+    """
+    n = T.shape[0]
+    s = np.asarray(starts, dtype=np.int64)
+    e = s + np.asarray(lens, dtype=np.int64)
+    q = np.concatenate((s, e))
+    Gq = np.zeros(q.shape[0], dtype=np.uint64)
+    acc = np.uint64(0)  # G[hi] of the chunk being entered
+    first_lo = ((n - 1) // chunk) * chunk if n else 0
+    for lo in range(first_lo, -1, -chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        c = np.asarray(T[lo:hi], dtype=np.uint64)
+        pw = np.full(m, base, dtype=np.uint64)
+        pw[0] = np.uint64(pow(int(base), lo, 1 << 64))
+        np.multiply.accumulate(pw, out=pw)
+        Gc = (c * pw)[::-1].cumsum(dtype=np.uint64)[::-1]
+        Gc += acc
+        sel = (q >= lo) & (q < hi)
+        Gq[sel] = Gc[q[sel] - lo]
+        acc = Gc[0] if m else acc
+    # q == n keeps G = 0
+    inv = pow(int(base), -1, 1 << 64)
+    inv_s = _pow_u64(inv, s)
+    nph = s.shape[0]
+    return (Gq[:nph] - Gq[nph:]) * inv_s
+
+
+def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                    impl: str = None):
     """Vectorized phrase dedup + byte-lex ranking.
 
     Fast path: the native memcmp-rank kernel (one C++ sort over the
@@ -219,13 +277,17 @@ def _dedup_and_rank(T: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     (len, 128-bit substring hash) dedup + chunked radix word sort in numpy.
     PFBWT_DICT_IMPL=jax selects the on-device chunk-row sort instead
     (parallel/dict_union.device_rank_rows) — the device-resident pipeline
-    option.  Returns (dict_starts, dict_lens, occs, 1-based rank/occurrence):
-    the dictionary stays a flat (start, len) view into T, never a Python
-    phrase list.
+    option.  ``impl='host'`` forces the host paths regardless of env: the
+    bounded-memory chunked parse uses it because the device row build
+    materializes O(nphrases * maxlen) bytes.  Returns (dict_starts,
+    dict_lens, occs, 1-based rank/occurrence): the dictionary stays a flat
+    (start, len) view into T, never a Python phrase list.
     """
     import os
 
-    if os.environ.get("PFBWT_DICT_IMPL", "").lower() == "jax":
+    if impl is None:
+        impl = os.environ.get("PFBWT_DICT_IMPL", "").lower()
+    if impl == "jax":
         from ..parallel.dict_union import dedup_rank_device
 
         return dedup_rank_device(T, starts, ends)

@@ -55,7 +55,9 @@ def _counting_pass(digit, arrays, nbuckets: int):
     )
     dest = offsets[digit] + within
     return [
-        jnp.zeros_like(a).at[dest].set(a, unique_indices=True)
+        jnp.zeros_like(a)
+        .at[dest]
+        .set(a, unique_indices=True, mode="promise_in_bounds")
         for a in arrays
     ]
 

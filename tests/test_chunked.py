@@ -86,3 +86,51 @@ def test_streamed_parse_with_docs(tmp_path, rng):
     assert got.doc_names == want.doc_names
     assert got.doc_starts == want.doc_starts
     assert got.pos == want.pos and got.nseqs == want.nseqs
+
+
+def test_chunked_substring_hashes_match_oneshot():
+    """The bounded-memory hash path is bit-identical to the one-shot form
+    (which materializes 24 bytes/char and is capped at _HASH_CHUNK_LIMIT)."""
+    import numpy as np
+
+    from pfbwtf_tpu.ops import parse as P
+
+    rng = np.random.default_rng(123)
+    T = rng.integers(0, 256, size=50000, dtype=np.uint8)
+    starts = np.sort(
+        rng.choice(40000, size=300, replace=False)
+    ).astype(np.int64)
+    lens = np.minimum(
+        rng.integers(1, 3000, size=300), T.shape[0] - starts
+    ).astype(np.int64)
+    for base in (P._HB1, P._HB2):
+        got = P._substring_hashes_chunked(T, starts, lens, base, chunk=4096)
+        want = P._substring_hashes(T, starts, lens, base)
+        assert np.array_equal(got, want)
+
+
+def test_chunked_parse_uses_host_dedup(monkeypatch):
+    """PFBWT_DICT_IMPL=jax must NOT route the bounded-memory chunked parse
+    through the device row build (O(nphrases*maxlen) RAM)."""
+    import numpy as np
+
+    from pfbwtf_tpu.ops import chunked as C
+    from pfbwtf_tpu.ops.parse import ParserParams
+
+    monkeypatch.setenv("PFBWT_DICT_IMPL", "jax")
+    called = {}
+    import pfbwtf_tpu.parallel.dict_union as du
+
+    def boom(*a, **k):
+        called["device"] = True
+        raise AssertionError("device dedup used in bounded-memory path")
+
+    monkeypatch.setattr(du, "dedup_rank_device", boom)
+    rng = np.random.default_rng(7)
+    fa = tmp_prefix("chunkhost") + ".fa"
+    with open(fa, "wb") as f:
+        f.write(b">r\n")
+        f.write(bytes(rng.choice(list(b"ACGT"), size=5000).astype(np.uint8)))
+        f.write(b"\n")
+    res = C.parse_fasta_chunked(fa, ParserParams(w=4, p=10), chunk=1 << 12)
+    assert res.parse_ranks.size > 0 and "device" not in called
