@@ -91,17 +91,27 @@ class ParseResult:
         s, l = self.dict_starts, self.dict_lens
         return [self.text[s[i] : s[i] + l[i]].tobytes() for i in range(len(s))]
 
-    def iter_dict_chunks(self, chunk_words: int = 1 << 20):
+    def iter_dict_chunks(self, chunk_bytes: int = 1 << 23):
         """Yield the .dict byte stream (sorted words + EndOfWord each, then
         EndOfDict) as bounded uint8 slabs — the streaming .dict writer
-        (pfbwt_io.hpp:71-82 semantics) with O(1) Python objects."""
+        (pfbwt_io.hpp:71-82 semantics) with O(1) Python objects.
+
+        Slabs are capped by BYTES, not word count: the expansion builds
+        four index arrays per slab, so a word-count cap made slab memory
+        scale with dictionary word length (the 1 GB memory profile showed
+        ~4 GB of index temporaries under the old 1M-word cap)."""
         starts = np.asarray(self.dict_starts, dtype=np.int64)
         lens = np.asarray(self.dict_lens, dtype=np.int64)
         D = starts.shape[0]
-        for lo in range(0, D, chunk_words):
-            s = starts[lo : lo + chunk_words]
-            l = lens[lo : lo + chunk_words]
-            bounds = np.cumsum(l + 1)
+        cum = np.cumsum(lens + 1)
+        lo = 0
+        while lo < D:
+            base = int(cum[lo - 1]) if lo else 0
+            hi = int(np.searchsorted(cum, base + chunk_bytes, side="right"))
+            hi = min(max(hi, lo + 1), D)
+            s = starts[lo:hi]
+            l = lens[lo:hi]
+            bounds = cum[lo:hi] - base
             out_len = int(bounds[-1])
             idx = np.arange(out_len, dtype=np.int64)
             word = np.searchsorted(bounds, idx, side="right")
@@ -111,6 +121,7 @@ class ParseResult:
             out = np.asarray(self.text[src], dtype=np.uint8)
             out[bounds - 1] = EndOfWord
             yield out
+            lo = hi
         yield np.array([EndOfDict], dtype=np.uint8)
 
     def dict_flat(self) -> np.ndarray:

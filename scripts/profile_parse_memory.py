@@ -59,7 +59,20 @@ def main(argv=None):
     fasta = os.path.join(args.workdir, f"memprof_{args.mb}mb.fa")
     out = os.path.join(args.workdir, f"memprof_{args.mb}mb")
     t0 = time.time()
-    make_fasta(fasta, args.mb)
+    if not (os.path.exists(fasta) and os.path.getsize(fasta) > (args.mb << 20)):
+        # generate in a subprocess: the generator's working set must not
+        # pollute this process's RSS high-water mark
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); "
+             "from scripts.profile_parse_memory import make_fasta; "
+             "make_fasta(%r, %d)"
+             % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                fasta, args.mb)],
+            check=True,
+        )
     print(f"[{time.time()-t0:7.1f}s] fasta ready "
           f"({os.path.getsize(fasta)>>20} MB), RSS {rss_mb():.0f} MB",
           flush=True)
