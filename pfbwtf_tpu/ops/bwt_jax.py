@@ -52,19 +52,23 @@ def assemble_core(
     ``impl`` selects the sort engine (suffix.sort_impl)."""
     D = dict_flat.shape[0]
     dwords = occs.shape[0]
-    iota = jnp.arange(D, dtype=jnp.int64)
+    # int32 for every counting scan (indices/counts < 2**31 — the 32-bit
+    # width guards fire long before): 64-bit scans lower to u32-pair
+    # reduce-windows on TPU, slow and scoped-VMEM-hungry at multi-M sizes
+    it = jnp.int32 if max(D, total_b) < 2**31 - 2 else jnp.int64
+    iota = jnp.arange(D, dtype=it)
     is_eow = dict_flat == EndOfWord
     is_sep = is_eow | (dict_flat == EndOfDict)
     word_id = jnp.concatenate(
-        (jnp.zeros(1, jnp.int64), jnp.cumsum(is_eow.astype(jnp.int64))[:-1])
+        (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
     # initial doubling symbols: EndOfDict->0, i-th EOW->1+i, char c->dwords+1+c
-    sym = dict_flat.astype(jnp.int64) + (dwords + 1)
-    sym = jnp.where(is_eow, 1 + word_id, sym)
-    sym = jnp.where(dict_flat == EndOfDict, 0, sym)
+    sym = dict_flat.astype(it) + it(dwords + 1)
+    sym = jnp.where(is_eow, it(1) + word_id, sym)
+    sym = jnp.where(dict_flat == EndOfDict, it(0), sym)
     sa_all, _ = _doubling_jax(sym, impl=impl)
     # suffix length = distance to the next separator (reverse cummin)
-    sep_idx = jnp.where(is_sep, iota, D)
+    sep_idx = jnp.where(is_sep, iota, it(D))
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - iota
     # suffix-equality hashes, fully in HBM (no host round-trip)
@@ -73,7 +77,7 @@ def assemble_core(
     # keep suffixes longer than w, in lexicographic order
     kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
     sa_kept = sa_all[kept_idx]
-    suf_valid = jnp.arange(nsuf_b, dtype=jnp.int64) < nsuf_true
+    suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
     ls = suf_len[sa_kept]
     # equality groups via (len, h1, h2)
     eq = (
@@ -83,22 +87,23 @@ def assemble_core(
         & suf_valid[1:]
     )
     gid = jnp.concatenate(
-        (jnp.zeros(1, jnp.int64), jnp.cumsum((~eq).astype(jnp.int64)))
+        (jnp.zeros(1, it), jnp.cumsum((~eq).astype(it)))
     )
-    u = jnp.clip(word_id[sa_kept], 0, jnp.maximum(dwords - 1, 0))
+    u = jnp.clip(word_id[sa_kept], 0, jnp.maximum(it(dwords) - 1, 0))
+    occs_n = occs.astype(it)
     seg_start = jnp.concatenate(
-        (jnp.ones(1, jnp.int64), 1 + jnp.cumsum(occs)[:-1])
+        (jnp.ones(1, it), it(1) + jnp.cumsum(occs_n)[:-1])
     )
-    counts = jnp.where(suf_valid, occs[u], 0)
+    counts = jnp.where(suf_valid, occs_n[u], it(0))
     E_suffix = jnp.repeat(
-        jnp.arange(nsuf_b, dtype=jnp.int64), counts,
+        jnp.arange(nsuf_b, dtype=it), counts,
         total_repeat_length=total_b,
     )
-    first = jnp.concatenate((jnp.zeros(1, jnp.int64), jnp.cumsum(counts)[:-1]))
-    within = jnp.arange(total_b, dtype=jnp.int64) - jnp.repeat(
+    first = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum(counts)[:-1]))
+    within = jnp.arange(total_b, dtype=it) - jnp.repeat(
         first, counts, total_repeat_length=total_b
     )
-    e_valid = jnp.arange(total_b, dtype=jnp.int64) < total_true
+    e_valid = jnp.arange(total_b, dtype=it) < it(total_true)
     slot = jnp.clip(
         jnp.repeat(seg_start[u], counts, total_repeat_length=total_b) + within,
         0,

@@ -69,24 +69,27 @@ def _sizing_core(chars_p, C_len, w: int, p: int):
     codes = ntoa[chars_p]
     _, cut = hash_scan_jax(codes, w, p)
     n_b = chars_p.shape[0]
-    idx = jnp.arange(n_b, dtype=jnp.int64)
-    cut = cut & (idx < C_len)
+    # int32 scans: positions < n_b < 2**31 (width guards fire long before);
+    # 64-bit scans are emulated u32-pair reduce-windows on TPU
+    it = jnp.int32 if n_b < 2**31 - 2 else jnp.int64
+    idx = jnp.arange(n_b, dtype=it)
+    cut = cut & (idx < it(C_len))
     ncuts = jnp.sum(cut.astype(jnp.int64))
     # longest phrase: for a cut at i with previous cut pc, len = i - pc + w
     # (first phrase: i + 2); plus the final phrase C_len - last_cut + 2w - 1
     # (whole T' = C_len + w + 1 when there are no cuts).  T'-coord algebra in
     # ops/parse.phrase_bounds_from_cuts.
-    marked = jnp.where(cut, idx, jnp.int64(-1))
+    marked = jnp.where(cut, idx, it(-1))
     pc = jnp.concatenate(
-        (jnp.full(1, -1, jnp.int64), jax.lax.cummax(marked)[:-1])
+        (jnp.full(1, -1, it), jax.lax.cummax(marked)[:-1])
     )
     len_at_cut = jnp.where(pc >= 0, idx - pc + w, idx + 2)
     maxlen_cuts = jnp.max(jnp.where(cut, len_at_cut, 0))
     last_cut = jnp.max(marked)
     len_last = jnp.where(
-        last_cut >= 0, C_len - last_cut + 2 * w - 1, C_len + w + 1
+        last_cut >= 0, it(C_len) - last_cut + 2 * w - 1, it(C_len) + w + 1
     )
-    return ncuts, jnp.maximum(maxlen_cuts, len_last)
+    return ncuts, jnp.maximum(maxlen_cuts, len_last).astype(jnp.int64)
 
 
 _sizing_jit = None
@@ -99,19 +102,25 @@ _sizing_jit = None
 
 def _substring_hashes_dev(Tp, starts, lens, base: int):
     """Polynomial hash of Tp[s:s+l] per (s,l), mod 2**64 (device version of
-    ops/parse._substring_hashes; uint64 wraps identically in XLA)."""
+    ops/parse._substring_hashes; uint64 wraps identically in XLA).  Powers
+    via binary exponentiation + one reverse u64 cumsum per base — u64
+    cumprod/flip chains are emulated u32-pair scans on TPU (slow, and they
+    blow scoped VMEM at multi-M sizes)."""
+    import jax
     import jax.numpy as jnp
+
+    from .suffix import pow_u64_jax
 
     c = Tp.astype(jnp.uint64)
     tb = c.shape[0]
-    b = jnp.full(tb, np.uint64(base), dtype=jnp.uint64).at[0].set(1)
-    powers = jnp.cumprod(b)
+    powers = pow_u64_jax(base, tb)
     G = jnp.concatenate(
-        (jnp.cumsum((c * powers)[::-1])[::-1], jnp.zeros(1, jnp.uint64))
+        (
+            jax.lax.cumsum(c * powers, axis=0, reverse=True),
+            jnp.zeros(1, jnp.uint64),
+        )
     )
-    inv = np.uint64(pow(int(base), -1, 1 << 64))
-    binv = jnp.full(tb, inv, dtype=jnp.uint64).at[0].set(1)
-    inv_powers = jnp.cumprod(binv)
+    inv_powers = pow_u64_jax(pow(int(base), -1, 1 << 64), tb)
     s = jnp.clip(starts, 0, tb - 1)
     e = jnp.clip(starts + lens, 0, tb)
     return (G[s] - G[e]) * inv_powers[s]
@@ -139,7 +148,8 @@ def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
     import jax.numpy as jnp
 
     R = rs.shape[0]
-    inv = (~valid).astype(jnp.int64)
+    it = jnp.int32 if R < 2**31 - 2 else jnp.int64
+    inv = (~valid).astype(it)
 
     def ranks_and_done(order, k_rank, k_chunk):
         # densify lexicographic (inv, rank, chunk) group ids; count the
@@ -148,23 +158,23 @@ def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
         i_s, r_s, c_s = inv[order], k_rank[order], k_chunk[order]
         changed = jnp.concatenate(
             (
-                jnp.zeros(1, jnp.int64),
+                jnp.zeros(1, it),
                 (
                     (i_s[1:] != i_s[:-1])
                     | (r_s[1:] != r_s[:-1])
                     | (c_s[1:] != c_s[:-1])
-                ).astype(jnp.int64),
+                ).astype(it),
             )
         )
         nr = jnp.cumsum(changed)
-        rank = jnp.zeros(R, jnp.int64).at[order].set(nr)
+        rank = jnp.zeros(R, it).at[order].set(nr)
         head = changed.at[0].set(1)
-        ngroups = jnp.sum(jnp.where(valid[order], head, 0))
+        ngroups = jnp.sum(jnp.where(valid[order], head, 0).astype(jnp.int64))
         return rank, ngroups
 
     c0 = _chunk_at(Tp, rs, rl, valid, 0)
     order0 = jnp.lexsort((c0, inv))
-    rank, ngroups = ranks_and_done(order0, jnp.zeros(R, jnp.int64), c0)
+    rank, ngroups = ranks_and_done(order0, jnp.zeros(R, it), c0)
 
     def cond(carry):
         rank, off, ngroups = carry
@@ -178,7 +188,7 @@ def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
         return rank, off + 8, ngroups
 
     rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int64(8), ngroups))
-    return rank  # 0-based; invalid lanes share the top ranks
+    return rank.astype(jnp.int64)  # 0-based; invalid lanes share top ranks
 
 
 def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
@@ -195,6 +205,7 @@ def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
     _, cut = hash_scan_jax(codes, w, p)
     sidx = jnp.arange(n_b, dtype=jnp.int64)
     cut = cut & (sidx < C_len)
+    it = jnp.int32 if n_b < 2**31 - 2 else jnp.int64
 
     # T' = Dollar + C + Dollar*w  (chars_p pads beyond C_len become Dollar)
     tb = n_b + w + 1
@@ -228,7 +239,7 @@ def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
             | (h2_o[1:] != h2_o[:-1]),
         )
     )
-    gid_sorted = jnp.cumsum(head.astype(jnp.int64)) - 1  # 0-based group id
+    gid_sorted = (jnp.cumsum(head.astype(it)) - 1).astype(jnp.int64)
     D = jnp.sum((head & v_o).astype(jnp.int64))  # valid groups come first
     gid = jnp.zeros(nph_b, jnp.int64).at[order].set(gid_sorted)
     # representative (first-in-sorted) start/len per group: exactly one head
@@ -305,12 +316,13 @@ def _final_core(
 
     nph_b = parse_ranks.shape[0]
     tb = Tp.shape[0]
-    r = jnp.arange(nph_b, dtype=jnp.int64)
+    it = jnp.int32 if max(dict_b, nph_b) < 2**31 - 2 else jnp.int64
+    r = jnp.arange(nph_b, dtype=it)
     # dict byte array: word r spans [bounds[r]-contrib[r], bounds[r]) with
     # its EndOfWord at bounds[r]-1; EndOfDict terminator + zero pads after
-    contrib = jnp.where(r < D, dict_len + 1, 0)
+    contrib = jnp.where(r < it(D), dict_len.astype(it) + 1, it(0))
     bounds = jnp.cumsum(contrib)
-    pidx = jnp.arange(dict_b, dtype=jnp.int64)
+    pidx = jnp.arange(dict_b, dtype=it)
     word = jnp.clip(
         jnp.searchsorted(bounds, pidx, side="right"), 0, nph_b - 1
     )

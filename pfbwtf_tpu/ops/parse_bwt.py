@@ -72,17 +72,23 @@ def parse_bwt_core(ranks_p, last_p, sai_p, n, impl: str = "lax"):
     )
     sym = jnp.where(zero, 0, ranks_p[jnp.clip((SA - 1) % n, 0, m - 1)])
     sym = sym.at[0].set(ranks_p[jnp.clip(n - 1, 0, m - 1)])
-    # padded rows (positions n+1..m in SA order) must sort last
+    # padded rows (positions n+1..m in SA order) must sort last; ranks
+    # <= n <= m, so m+1 is a past-every-rank sentinel that keeps the sort
+    # key in int32 (avoids emulated 64-bit comparators on TPU)
     valid = idx <= n
-    if impl == "radix" and m < 2**31 - 4:
-        from .radix import key_bits, radix_argsort_u32
-
-        # ranks <= n <= m, so m+1 is a past-every-rank sentinel and the
-        # key fits int32 — radix is stable, matching argsort(stable=True)
+    if m < 2**31 - 4:
         sym = jnp.where(valid, sym, jnp.int64(m + 1))
-        ilist = radix_argsort_u32(
-            sym.astype(jnp.int32), nbits=key_bits(m + 1)
-        ).astype(jnp.int64)
+        if impl == "radix":
+            from .radix import key_bits, radix_argsort_u32
+
+            # radix is stable, matching argsort(stable=True)
+            ilist = radix_argsort_u32(
+                sym.astype(jnp.int32), nbits=key_bits(m + 1)
+            ).astype(jnp.int64)
+        else:
+            ilist = jnp.argsort(sym.astype(jnp.int32), stable=True).astype(
+                jnp.int64
+            )
     else:
         sym = jnp.where(valid, sym, big)
         ilist = jnp.argsort(sym, stable=True)

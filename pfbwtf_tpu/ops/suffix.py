@@ -132,21 +132,39 @@ def _segmented_suffix_hashes_np(dict_flat: np.ndarray, suf_len: np.ndarray, base
     return (G[idx] - G[idx + suf_len]) * inv_powers
 
 
+def pow_u64_jax(base: int, nexp: int):
+    """[base**0, ..., base**(nexp-1)] mod 2**64 via vectorized binary
+    exponentiation: log2(nexp) ELEMENTWISE u64 multiplies instead of a
+    uint64 cumprod — 64-bit scans lower to u32-pair reduce-windows on TPU
+    and blow the scoped-VMEM budget at multi-M sizes (observed on-chip)."""
+    e = jnp.arange(nexp, dtype=jnp.uint32)
+    acc = jnp.ones(nexp, dtype=jnp.uint64)
+    b = int(base) & 0xFFFFFFFFFFFFFFFF
+    for bit in range(max(int(nexp - 1).bit_length(), 1)):
+        mask = ((e >> np.uint32(bit)) & np.uint32(1)) != 0
+        acc = jnp.where(mask, acc * np.uint64(b), acc)
+        b = (b * b) & 0xFFFFFFFFFFFFFFFF
+    return acc
+
+
 def segmented_suffix_hashes_jax(dict_flat, suf_len, base: int):
-    """Device version of _segmented_suffix_hashes_np: the same two
-    cumulative passes (uint64 wraps mod 2**64 in XLA exactly as in numpy),
-    so the dict->assembly chain needs no host hash round-trip."""
+    """Device version of _segmented_suffix_hashes_np (uint64 wraps mod
+    2**64 in XLA exactly as in numpy), so the dict->assembly chain needs
+    no host hash round-trip.  Powers come from binary exponentiation; the
+    single remaining 64-bit scan per base is the reverse cumsum of terms
+    (jax.lax.cumsum(reverse=True) — no flip gathers)."""
     c = dict_flat.astype(jnp.uint64)
     D = c.shape[0]
-    b = jnp.full(D, np.uint64(base), dtype=jnp.uint64).at[0].set(1)
-    powers = jnp.cumprod(b)
+    powers = pow_u64_jax(base, D)
     terms = c * powers
     G = jnp.concatenate(
-        (jnp.cumsum(terms[::-1])[::-1], jnp.zeros(1, jnp.uint64))
+        (
+            jax.lax.cumsum(terms, axis=0, reverse=True),
+            jnp.zeros(1, jnp.uint64),
+        )
     )
-    inv = np.uint64(pow(int(base), -1, 1 << 64))
-    binv = jnp.full(D, inv, dtype=jnp.uint64).at[0].set(1)
-    inv_powers = jnp.cumprod(binv)
+    inv = pow(int(base), -1, 1 << 64)
+    inv_powers = pow_u64_jax(inv, D)
     idx = jnp.arange(D)
     return (G[idx] - G[idx + suf_len]) * inv_powers
 
@@ -211,32 +229,36 @@ def _doubling_jax(keys, impl: str = "lax"):
     (callers' width guards fire long before).
     """
     n = keys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int64)
-    use_radix = impl == "radix" and n < 2**31 - 2
+    # it: the RANK integer type.  Ranks/indices are < n, so int32 when it
+    # fits — TPU scans of 64-bit values lower to u32-pair reduce-windows
+    # (emulated carries) that both run slow and exceed scoped VMEM at
+    # multi-M sizes; int32 cumsums are native
+    narrow = n < 2**31 - 2
+    it = jnp.int32 if narrow else jnp.int64
+    idx = jnp.arange(n, dtype=it)
+    use_radix = impl == "radix" and narrow
 
     def densify1(order, ck):
         cks = ck[order]
         changed = jnp.concatenate(
             (
-                jnp.zeros(1, jnp.int64),
-                (cks[1:] != cks[:-1]).astype(jnp.int64),
+                jnp.zeros(1, it),
+                (cks[1:] != cks[:-1]).astype(it),
             )
         )
         new_rank = jnp.cumsum(changed)
-        return jnp.zeros(n, jnp.int64).at[order].set(new_rank)
+        return jnp.zeros(n, it).at[order].set(new_rank)
 
     def densify2(order, r, k2):
         r_s, k_s = r[order], k2[order]
         changed = jnp.concatenate(
             (
-                jnp.zeros(1, jnp.int64),
-                ((r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])).astype(
-                    jnp.int64
-                ),
+                jnp.zeros(1, it),
+                ((r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])).astype(it),
             )
         )
         new_rank = jnp.cumsum(changed)
-        return jnp.zeros(n, jnp.int64).at[order].set(new_rank)
+        return jnp.zeros(n, it).at[order].set(new_rank)
 
     k0 = keys.astype(jnp.int64)
     order0 = jnp.argsort(k0)
@@ -254,14 +276,11 @@ def _doubling_jax(keys, impl: str = "lax"):
         def body(carry):
             rank, k = carry
             key2 = jnp.where(
-                idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], -1
+                idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], it(-1)
             )
             order = radix_argsort_pair(
-                rank.astype(jnp.int32),
-                (key2 + 1).astype(jnp.int32),
-                nbits_hi=nb,
-                nbits_lo=nb,
-            ).astype(jnp.int64)
+                rank, key2 + it(1), nbits_hi=nb, nbits_lo=nb
+            )
             rank = densify2(order, rank, key2)
             return rank, k * 2
 
@@ -270,23 +289,25 @@ def _doubling_jax(keys, impl: str = "lax"):
         def body(carry):
             rank, k = carry
             key2 = jnp.where(
-                idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], -1
+                idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], it(-1)
             )
-            ckey = rank * jnp.int64(n + 1) + (key2 + 1)
+            ckey = rank.astype(jnp.int64) * jnp.int64(n + 1) + (
+                key2.astype(jnp.int64) + 1
+            )
             order = jnp.argsort(ckey)
             rank = densify1(order, ckey)
             return rank, k * 2
 
+    # k stays int64: it doubles past n before the distinct-ranks exit on
+    # adversarial inputs, and int32 would wrap (scalar — no scan cost)
     rank, _ = jax.lax.while_loop(cond, body, (rank, jnp.int64(1)))
     if use_radix:
         from .radix import radix_argsort_u32
 
-        final = radix_argsort_u32(rank.astype(jnp.int32), nbits=nb).astype(
-            jnp.int64
-        )
+        final = radix_argsort_u32(rank, nbits=nb)
     else:
         final = jnp.argsort(rank)
-    return final, rank
+    return final.astype(jnp.int64), rank.astype(jnp.int64)
 
 
 def suffix_array_ints_jax(seq) -> jnp.ndarray:
@@ -297,16 +318,19 @@ def suffix_array_ints_jax(seq) -> jnp.ndarray:
 
 
 def dict_suffix_sort_jax(dict_flat):
-    """Generalized dict suffix order on device (gsacak role)."""
+    """Generalized dict suffix order on device (gsacak role).  Counting
+    scans run in int32 (native TPU scans) — D < 2**31 is enforced by the
+    32-bit width guards long before."""
     dict_flat = jnp.asarray(dict_flat, dtype=jnp.uint8)
     D = dict_flat.shape[0]
+    it = jnp.int32 if D < 2**31 - 2 else jnp.int64
     is_eow = dict_flat == EndOfWord
-    dwords = jnp.sum(is_eow.astype(jnp.int64))
     word_id = jnp.concatenate(
-        (jnp.zeros(1, jnp.int64), jnp.cumsum(is_eow.astype(jnp.int64))[:-1])
+        (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
-    sym = dict_flat.astype(jnp.int64) + (dwords + 1)
-    sym = jnp.where(is_eow, 1 + word_id, sym)
-    sym = jnp.where(dict_flat == EndOfDict, 0, sym)
+    dwords = jnp.sum(is_eow.astype(it))  # reduction, not a scan — cheap
+    sym = dict_flat.astype(it) + (dwords + it(1))
+    sym = jnp.where(is_eow, it(1) + word_id, sym)
+    sym = jnp.where(dict_flat == EndOfDict, it(0), sym)
     sa, rank = _doubling_jax(sym, impl=sort_impl())
-    return sa, rank, word_id, dwords
+    return sa, rank, word_id.astype(jnp.int64), dwords.astype(jnp.int64)
