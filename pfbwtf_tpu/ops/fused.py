@@ -106,17 +106,16 @@ def _substring_hashes_dev(Tp, starts, lens, base: int):
     via binary exponentiation + one reverse u64 cumsum per base — u64
     cumprod/flip chains are emulated u32-pair scans on TPU (slow, and they
     blow scoped VMEM at multi-M sizes)."""
-    import jax
     import jax.numpy as jnp
 
-    from .suffix import pow_u64_jax
+    from .suffix import cumsum_u64_jax, pow_u64_jax
 
     c = Tp.astype(jnp.uint64)
     tb = c.shape[0]
     powers = pow_u64_jax(base, tb)
     G = jnp.concatenate(
         (
-            jax.lax.cumsum(c * powers, axis=0, reverse=True),
+            cumsum_u64_jax(c * powers, reverse=True),
             jnp.zeros(1, jnp.uint64),
         )
     )

@@ -132,6 +132,43 @@ def _segmented_suffix_hashes_np(dict_flat: np.ndarray, suf_len: np.ndarray, base
     return (G[idx] - G[idx + suf_len]) * inv_powers
 
 
+def cumsum_u64_jax(x, reverse: bool = False, blk: int = 1 << 15):
+    """Inclusive cumsum of a uint64 vector mod 2**64 with NO 64-bit scan.
+
+    TPU lowers 64-bit scans to variadic u32-pair reduce-windows whose
+    scoped-VMEM tiles exceed the 16 MB hardware limit at multi-M sizes
+    (observed on-chip for both forward and reverse forms).  Decomposition:
+    split into four 16-bit limbs and scan each in NATIVE int32 within
+    2**15-element blocks (block-limb sums stay < 2**31), reconstruct
+    u64 partials elementwise, then add the per-block exclusive prefix —
+    a u64 scan over only n/2**15 block totals.
+    """
+    n = x.shape[0]
+    if n == 0:
+        return x
+    nblk = -(-n // blk)
+    pad = nblk * blk - n
+    xp = jnp.concatenate((x, jnp.zeros(pad, jnp.uint64))) if pad else x
+    if reverse:
+        xp = xp[::-1]
+    g = xp.reshape(nblk, blk)
+    within = jnp.zeros((nblk, blk), jnp.uint64)
+    for limb in range(4):
+        part = ((g >> jnp.uint64(16 * limb)) & jnp.uint64(0xFFFF)).astype(
+            jnp.int32
+        )
+        c = jnp.cumsum(part, axis=1)  # native i32 scan; max < 2**31
+        within = within + (c.astype(jnp.uint64) << jnp.uint64(16 * limb))
+    totals = within[:, -1]
+    prefix = jnp.concatenate(
+        (jnp.zeros(1, jnp.uint64), jnp.cumsum(totals)[:-1])
+    )  # u64 scan over nblk elements only (n / 2**15 — trivially small)
+    out = (within + prefix[:, None]).reshape(-1)
+    if reverse:
+        out = out[::-1]
+    return out[:n] if pad else out
+
+
 def pow_u64_jax(base: int, nexp: int):
     """[base**0, ..., base**(nexp-1)] mod 2**64 via vectorized binary
     exponentiation: log2(nexp) ELEMENTWISE u64 multiplies instead of a
@@ -159,7 +196,7 @@ def segmented_suffix_hashes_jax(dict_flat, suf_len, base: int):
     terms = c * powers
     G = jnp.concatenate(
         (
-            jax.lax.cumsum(terms, axis=0, reverse=True),
+            cumsum_u64_jax(terms, reverse=True),
             jnp.zeros(1, jnp.uint64),
         )
     )

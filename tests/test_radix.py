@@ -91,3 +91,24 @@ def test_parse_bwt_radix_matches(monkeypatch):
     assert np.array_equal(a.bwlast, b.bwlast)
     assert np.array_equal(a.ilist, b.ilist)
     assert np.array_equal(a.bwsai, b.bwsai)
+
+
+def test_cumsum_u64_limb_decomposition():
+    """cumsum_u64_jax (no 64-bit scans — TPU scoped-VMEM workaround) is
+    bit-identical to the numpy uint64 cumsum, both directions, across
+    block-boundary sizes."""
+    import jax.numpy as jnp
+
+    from pfbwtf_tpu.ops.suffix import cumsum_u64_jax
+
+    rng = np.random.default_rng(42)
+    for n in (1, 7, (1 << 15) - 1, 1 << 15, (1 << 15) + 1, 99991):
+        x = rng.integers(0, 1 << 63, size=n, dtype=np.uint64) * np.uint64(7)
+        for rev in (False, True):
+            got = np.asarray(cumsum_u64_jax(jnp.asarray(x), reverse=rev))
+            want = (
+                x[::-1].cumsum(dtype=np.uint64)[::-1]
+                if rev
+                else x.cumsum(dtype=np.uint64)
+            )
+            assert np.array_equal(got, want), (n, rev)
