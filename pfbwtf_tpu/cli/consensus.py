@@ -43,8 +43,13 @@ def main(argv=None):
                     help="output fasta ('-' = stdout)")
     ap.add_argument("-x", "--markers", default="",
                     help="write marker positions (.mps) to this file")
-    ap.add_argument("--marker_wsize", type=int, default=10)
-    ap.add_argument("-w", "--window-size", type=int, default=10, dest="w")
+    # reference flag map (consensus.cpp:1166-1167, 1245-1256): -w is the
+    # MARKER window (ma_w), -l the inter-contig length bias (len_bias,
+    # the w-pad added to marker text positions at each contig end)
+    ap.add_argument("-w", "--marker_wsize", type=int, default=10,
+                    dest="marker_wsize")
+    ap.add_argument("-l", "--marker_length_bias", type=int, default=10,
+                    dest="w")
     ap.add_argument("-p", "--prefix", default="",
                     help="prefix added to output sequence names")
     ap.add_argument("--mark-del", default="", metavar="CHAR",
