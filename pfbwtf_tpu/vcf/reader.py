@@ -501,6 +501,9 @@ def merge_vcfs(fnames: List[str]) -> "VCF":
     if len(fnames) == 1:
         return base
     extras = [VCF(f) for f in fnames[1:]]
+    # snapshot each file's OWN sample list before base.samples is extended:
+    # pad_gts must index the per-file gts matrix by the per-file layout
+    own_samples = {id(v): list(v.samples) for v in [base] + extras}
     for v in extras:
         for c in v.contigs:
             if c not in base.contigs:
@@ -514,7 +517,7 @@ def merge_vcfs(fnames: List[str]) -> "VCF":
     def pad_gts(v: "VCF", st: _ContigStore) -> np.ndarray:
         """Expand st.gts to the merged sample axis (missing = -1)."""
         out = np.full((len(st), nsamples, 2), -1, dtype=np.int16)
-        for j, s in enumerate(v.samples):
+        for j, s in enumerate(own_samples[id(v)]):
             out[:, base.samples.index(s), :] = st.gts[:, j, :]
         return out
 

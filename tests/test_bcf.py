@@ -202,3 +202,30 @@ def test_vcf_to_bwt_accepts_bcf(tmp_path):
         assert (
             open(outs[0] + ext, "rb").read() == open(outs[1] + ext, "rb").read()
         )
+
+
+def test_merge_vcfs_mixed_formats(tmp_path):
+    """A .vcf and a .bcf (disjoint samples, same contig) merge identically
+    to merging the two text VCFs."""
+    from pfbwtf_tpu.vcf.reader import merge_vcfs
+
+    rng = np.random.default_rng(17)
+    seq = bytes(rng.choice(list(b"ACGT"), size=300).astype(np.uint8))
+    v1, v2 = str(tmp_path / "a.vcf"), str(tmp_path / "b.vcf")
+    b2 = str(tmp_path / "b.bcf")
+    random_vcf(v1, [("c1", seq)], rng, nsamples=1, density=0.03)
+    # second file: different sample name (rewrite the header's sample col)
+    random_vcf(v2, [("c1", seq)], rng, nsamples=1, density=0.04)
+    text = open(v2, "rb").read().replace(b"\ts0\n", b"\tzz\n")
+    open(v2, "wb").write(text)
+    vcf_text_to_bcf(v2, b2)
+
+    m_text = merge_vcfs([v1, v2])
+    m_mixed = merge_vcfs([v1, b2])
+    assert m_text.samples == m_mixed.samples
+    for c in m_text.contigs:
+        ra, rb = m_text.records_for_contig(c), m_mixed.records_for_contig(c)
+        assert len(ra) == len(rb)
+        for x, y in zip(ra, rb):
+            assert (x.pos, x.alleles) == (y.pos, y.alleles)
+            assert np.array_equal(x.gts._row, y.gts._row)
