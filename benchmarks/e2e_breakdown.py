@@ -54,21 +54,15 @@ def main():
     dev_chars = t("H2D upload (device_put)",
                   lambda: jax.block_until_ready(jax.device_put(chars_p)))
 
-    r = t("J1 sizing dispatch+sync", lambda: tuple(
-        np.asarray(x) for x in fused._sizing_jit(
-            dev_chars, jnp.int64(C_len), w=W, p=P)
-    ))
-    ncuts, _maxlen = int(r[0]), int(r[1])
-    nph_b = fused._bucket(ncuts + 1)
-
+    nph_b = fused._bucket(fused.speculative_nphrases(C_len, P))
     key2 = (nph_b, W, P)
-    state = t("J2 parse dispatch+sync", lambda: jax.block_until_ready(
-        fused._parse_jits[key2](dev_chars, jnp.int64(C_len),
-                                jnp.int64(ncuts))
-    ))
-    (Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
-     D_d, dict_total_d) = state
-    D, dict_total = int(np.asarray(D_d)), int(np.asarray(dict_total_d))
+    state = t("J2 parse dispatch (async)", lambda: fused._parse_jits[key2](
+        dev_chars, jnp.int64(C_len)))
+    meta = t("J2 sizing fetch (3 scalars)",
+             lambda: np.asarray(state[-1]))
+    ncuts, D, dict_total = int(meta[0]), int(meta[1]), int(meta[2])
+    assert ncuts + 1 <= nph_b, "speculative bucket overflow on bench input"
+    (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 
     nsuf = (dict_total - 1 - D) - D * W
     total = C_len + 1
@@ -78,14 +72,12 @@ def main():
     from pfbwtf_tpu.ops.suffix import sort_impl
 
     key3 = (W, dict_b, nsuf_b, total_b, nph_b, sort_impl())
-    out3 = t("J3 assemble dispatch+sync", lambda: jax.block_until_ready(
-        fused._final_jits[key3](
-            Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
-            jnp.int64(ncuts + 1), jnp.int64(D), jnp.int64(dict_total),
-            jnp.int64(nsuf), jnp.int64(total),
-        )
+    out3 = t("J3 assemble dispatch (async)", lambda: fused._final_jits[key3](
+        Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+        jnp.int64(ncuts + 1), jnp.int64(D), jnp.int64(dict_total),
+        jnp.int64(nsuf), jnp.int64(total),
     ))
-    t("checksum fetch (1 scalar)", lambda: int(np.asarray(out3[2])))
+    t("J3 compute+checksum fetch", lambda: int(np.asarray(out3[2])))
     t("whole chain (2nd run)", lambda: fused.pfbwt_fused_device(
         C, W, P, fetch=False))
 

@@ -3,20 +3,28 @@
 The staged engine (engine.py) runs each stage as its own program with host
 round-trips between (Python phrase metadata, re-pad, re-upload).  This module
 chains the WHOLE construction — cut scan -> phrase bounds -> dictionary
-dedup/rank -> parse-BWT -> emission-sort assembly — through three device
+dedup/rank -> parse-BWT -> emission-sort assembly — through two device
 programs whose intermediates never leave HBM:
 
-  J1 sizing    one pass over the codes: #cuts + the longest phrase length
-               (two scalars to host; they pick the static bucket shapes).
-  J2 parse     cut compaction, phrase bounds, dictionary dedup by
-               (len, two 64-bit polynomial substring hashes), byte-lex
-               ranking of the unique representatives by early-exit chunk
-               refinement, per-occurrence metadata (rank/last/sai), and the
-               dict (start, len) view — all device arrays, kept in HBM.
+  J2 parse     cut scan + count, cut compaction, phrase bounds, dictionary
+               dedup by (len, two 64-bit polynomial substring hashes),
+               byte-lex ranking of the unique representatives by early-exit
+               chunk refinement, per-occurrence metadata (rank/last/sai),
+               and the dict (start, len) view — all device arrays, kept in
+               HBM.  The phrase-array bucket is chosen SPECULATIVELY from
+               C_len/p (cuts are hash%p==0 events, tightly concentrated at
+               rate 1/p); the device-counted ncuts comes back in the single
+               sizing fetch, and the rare overflow (adversarial inputs whose
+               cut density far exceeds 1/p) re-runs J2 at the exact bucket.
   J3 assemble  dict byte-array construction, generalized dict suffix sort,
                parse-BWT (doubling SA + permutes), emission fan-out and the
                final (suffix-group, ilist-pos) sort -> bwt chars + SA
                samples.  Reuses parse_bwt_core / assemble_core.
+
+The chain costs exactly TWO host syncs: one 3-scalar fetch after J2 (ncuts,
+D, dict_total — they size J3's static buckets) and the final checksum/output
+fetch.  Round 2's separate J1 sizing pass (a third sync plus a second full
+hash scan over the input) is gone.
 
 Covers run_parser + run_pfbwt of the reference in one chain
 (src/pfbwt-f.cpp:209-349) with only .bwt/.sa leaving HBM.  The byte-lex
@@ -55,44 +63,19 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
 
 
 # --------------------------------------------------------------------------
-# J1: sizing scan
+# speculative phrase-count bound (replaces the round-2 J1 sizing pass)
 # --------------------------------------------------------------------------
 
 
-def _sizing_core(chars_p, C_len, w: int, p: int):
-    import jax
-    import jax.numpy as jnp
-
-    from .hash import hash_scan_jax
-
-    ntoa = jnp.asarray(NTOA_TABLE)
-    codes = ntoa[chars_p]
-    _, cut = hash_scan_jax(codes, w, p)
-    n_b = chars_p.shape[0]
-    # int32 scans: positions < n_b < 2**31 (width guards fire long before);
-    # 64-bit scans are emulated u32-pair reduce-windows on TPU
-    it = jnp.int32 if n_b < 2**31 - 2 else jnp.int64
-    idx = jnp.arange(n_b, dtype=it)
-    cut = cut & (idx < it(C_len))
-    ncuts = jnp.sum(cut.astype(jnp.int64))
-    # longest phrase: for a cut at i with previous cut pc, len = i - pc + w
-    # (first phrase: i + 2); plus the final phrase C_len - last_cut + 2w - 1
-    # (whole T' = C_len + w + 1 when there are no cuts).  T'-coord algebra in
-    # ops/parse.phrase_bounds_from_cuts.
-    marked = jnp.where(cut, idx, it(-1))
-    pc = jnp.concatenate(
-        (jnp.full(1, -1, it), jax.lax.cummax(marked)[:-1])
-    )
-    len_at_cut = jnp.where(pc >= 0, idx - pc + w, idx + 2)
-    maxlen_cuts = jnp.max(jnp.where(cut, len_at_cut, 0))
-    last_cut = jnp.max(marked)
-    len_last = jnp.where(
-        last_cut >= 0, it(C_len) - last_cut + 2 * w - 1, it(C_len) + w + 1
-    )
-    return ncuts, jnp.maximum(maxlen_cuts, len_last).astype(jnp.int64)
-
-
-_sizing_jit = None
+def speculative_nphrases(C_len: int, p: int) -> int:
+    """Upper bound on nphrases used to pick J2's static bucket WITHOUT a
+    device round-trip.  Cuts are `hash % p == 0` events: for hash-random
+    input ncuts ~ Binomial(C_len, 1/p), so mean + 8 sigma + a flat pad is
+    conservatively safe; genuinely adversarial inputs (constant k-mers whose
+    hash hits 0 mod p at every position) overflow the bound, which the
+    driver detects from the device-counted ncuts and re-runs exactly."""
+    exp = C_len / max(p, 1)
+    return int(exp + 8.0 * exp**0.5 + 4096.0)
 
 
 # --------------------------------------------------------------------------
@@ -190,9 +173,12 @@ def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
     return rank.astype(jnp.int64)  # 0-based; invalid lanes share top ranks
 
 
-def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
-    """Cut compaction + phrase bounds + dict dedup/rank + occurrence
-    metadata, all on device.  Returns the HBM-resident parse state."""
+def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
+    """Cut scan/count + compaction + phrase bounds + dict dedup/rank +
+    occurrence metadata, all on device.  Returns the HBM-resident parse
+    state plus a 3-scalar sizing vector [ncuts, D, dict_total] — the ONLY
+    values the host needs before dispatching J3.  Valid only when
+    ncuts + 1 <= nph_b (the driver re-runs at the exact bucket otherwise)."""
     import jax
     import jax.numpy as jnp
 
@@ -204,6 +190,7 @@ def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
     _, cut = hash_scan_jax(codes, w, p)
     sidx = jnp.arange(n_b, dtype=jnp.int64)
     cut = cut & (sidx < C_len)
+    ncuts = jnp.sum(cut.astype(jnp.int64))
     it = jnp.int32 if n_b < 2**31 - 2 else jnp.int64
 
     # T' = Dollar + C + Dollar*w  (chars_p pads beyond C_len become Dollar)
@@ -282,6 +269,7 @@ def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
     )
     sai = jnp.where(valid, ends, 0).astype(jnp.uint64)
     dict_total = jnp.sum(dict_len) + D + 1
+    meta = jnp.stack((ncuts, D, dict_total))  # one fetch sizes J3
     return (
         Tp,
         parse_ranks,
@@ -290,8 +278,7 @@ def _parse_core(chars_p, C_len, ncuts, w: int, p: int, nph_b: int):
         dict_len,
         last,
         sai,
-        D,
-        dict_total,
+        meta,
     )
 
 
@@ -368,7 +355,6 @@ def pfbwt_fused_device(
     ``(device_arrays, checksum)`` with everything still in HBM (bench use:
     only the checksum scalar is materialized to force completion).
     """
-    global _sizing_jit
     import jax
     import jax.numpy as jnp
 
@@ -390,26 +376,25 @@ def pfbwt_fused_device(
     chars_p[:C_len] = C
     dev_chars = jax.device_put(chars_p)
 
-    if _sizing_jit is None:
-        _sizing_jit = jax.jit(_sizing_core, static_argnames=("w", "p"))
-    ncuts_d, maxlen_d = _sizing_jit(dev_chars, jnp.int64(C_len), w=w, p=p)
-    ncuts = int(np.asarray(ncuts_d))
-    maxlen = int(np.asarray(maxlen_d))
+    def run_parse(nph_b):
+        key2 = (nph_b, w, p)
+        if key2 not in _parse_jits:
+            _parse_jits[key2] = jax.jit(
+                partial(_parse_core, w=w, p=p, nph_b=nph_b)
+            )
+        state = _parse_jits[key2](dev_chars, jnp.int64(C_len))
+        meta = np.asarray(state[-1])  # SYNC 1: [ncuts, D, dict_total]
+        return state, int(meta[0]), int(meta[1]), int(meta[2])
+
+    nph_b = _bucket(speculative_nphrases(C_len, p))
+    state, ncuts, D, dict_total = run_parse(nph_b)
     if ncuts == 0:
         die("error: only one dict word total. Re-run with a smaller p modulus")
+    if ncuts + 1 > nph_b:  # speculative bound overflowed: exact re-run
+        nph_b = _bucket(ncuts + 1)
+        state, ncuts, D, dict_total = run_parse(nph_b)
     nphrases = ncuts + 1
-    nph_b = _bucket(nphrases)
-
-    key2 = (nph_b, w, p)
-    if key2 not in _parse_jits:
-        _parse_jits[key2] = jax.jit(
-            partial(_parse_core, w=w, p=p, nph_b=nph_b)
-        )
-    state = _parse_jits[key2](dev_chars, jnp.int64(C_len), jnp.int64(ncuts))
-    (Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
-     D_d, dict_total_d) = state
-    D = int(np.asarray(D_d))
-    dict_total = int(np.asarray(dict_total_d))
+    (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 
     nsuf = (dict_total - 1 - D) - D * w
     total = n + 1
