@@ -1,0 +1,266 @@
+"""On-chip attribution of J2/J3 device time + candidate-op measurements.
+
+The 16 MB breakdown (round 3) showed device COMPUTE dominates the fused
+chain (J2 4.4 s, J3 12.2 s; syncs < 0.3 s) — this probe times each
+component of those programs as its own jitted call on the real chip, plus
+the u32-hash candidates that would replace the emulated-u64 machinery.
+
+Every timed fn returns a small scalar; np.asarray on it forces completion
+(block_until_ready does not reliably block through the tunnel).
+
+Usage: [PFBWT_BENCH_MB=16] python benchmarks/chip_probe.py [piece ...]
+Pieces: j2 j3 u32 emission (default: all)
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZE_MB = int(os.environ.get("PFBWT_BENCH_MB", "16"))
+CACHE = f"/tmp/pfbwtf_tpu_bench_{SIZE_MB}mb"
+W, P = 10, 100
+REPS = 2
+
+
+def t(label, fn):
+    out = fn()  # compile + warm
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(time.perf_counter() - t0)
+    print(f"{label:44s} {min(times)*1e3:9.1f} ms", flush=True)
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pfbwtf_tpu.io.fasta import read_fasta_bytes
+    from pfbwtf_tpu.ops import fused
+    from pfbwtf_tpu.ops.parse import ParserParams, build_stream
+    from pfbwtf_tpu.ops.hash import hash_scan_jax
+    from pfbwtf_tpu.ops.suffix import (
+        _doubling_jax,
+        _HB1,
+        _HB2,
+        cumsum_u64_jax,
+        pow_u64_jax,
+        segmented_suffix_hashes_jax,
+    )
+    from pfbwtf_tpu.constants import EndOfDict, EndOfWord
+
+    pieces = set(sys.argv[1:]) or {"j2", "j3", "u32", "emission"}
+
+    fasta = CACHE + ".pan.fa"
+    if not os.path.exists(fasta):
+        sys.exit(f"missing bench input {fasta}; run bench.py first")
+    records = read_fasta_bytes(fasta)
+    C, _, _ = build_stream(records, ParserParams(w=W, p=P))
+
+    C_len = int(C.shape[0])
+    n_b = fused._bucket(max(C_len, 1), 1 << 16)
+    chars_p = np.full(n_b, ord("A"), dtype=np.uint8)
+    chars_p[:C_len] = C
+    dev_chars = jax.device_put(chars_p)
+
+    nph_b = fused._bucket(fused.speculative_nphrases(C_len, P))
+    key2 = (nph_b, W, P)
+    if key2 not in fused._parse_jits:
+        fused._parse_jits[key2] = jax.jit(
+            partial(fused._parse_core, w=W, p=P, nph_b=nph_b)
+        )
+    state = fused._parse_jits[key2](dev_chars, jnp.int64(C_len))
+    meta = np.asarray(state[-1])
+    ncuts, D, dict_total = int(meta[0]), int(meta[1]), int(meta[2])
+    (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
+    tb = int(Tp.shape[0])
+    print(f"input {SIZE_MB} MB: n_b={n_b} tb={tb} nph_b={nph_b} "
+          f"ncuts={ncuts} D={D} dict_total={dict_total}", flush=True)
+
+    # ---------------- J2 pieces ----------------
+    if "j2" in pieces:
+        scan_j = jax.jit(lambda c: hash_scan_jax(
+            jnp.asarray(c), W, P)[1].sum())
+        t("J2: hash scan (cut mask)", lambda: int(np.asarray(
+            scan_j(dev_chars))))
+
+        sub_j = jax.jit(lambda Tp, s, l: (
+            fused._substring_hashes_dev(Tp, s, l, int(_HB1)).sum()
+            + fused._substring_hashes_dev(Tp, s, l, int(_HB2)).sum()))
+        t("J2: substring hashes u64 x2 (full Tp)", lambda: int(np.asarray(
+            sub_j(Tp, dict_start, dict_len))))
+
+        lex_j = jax.jit(partial(
+            lambda Tp, rs, rl, D, maxlen: fused._rep_lex_ranks(
+                Tp, rs, rl,
+                jnp.arange(rs.shape[0], dtype=jnp.int64) < D,
+                D, maxlen).sum()))
+        maxlen = int(np.asarray(jnp.max(dict_len)))
+        t("J2: rep lex chunk-refinement", lambda: int(np.asarray(
+            lex_j(Tp, dict_start, dict_len, jnp.int64(D),
+                  jnp.int64(maxlen)))))
+
+    # ---------------- J3 pieces ----------------
+    nsuf = (dict_total - 1 - D) - D * W
+    total = C_len + 1
+    dict_b = fused._bucket(dict_total)
+    nsuf_b = fused._bucket(nsuf)
+    total_b = fused._bucket(total)
+
+    # build dict_flat once (device) for the J3 sub-pieces
+    def _dict_flat_core(Tp, dict_start, dict_len, D, dict_total):
+        it = jnp.int32
+        r = jnp.arange(nph_b, dtype=it)
+        contrib = jnp.where(r < it(D), dict_len.astype(it) + 1, it(0))
+        bounds = jnp.cumsum(contrib)
+        pidx = jnp.arange(dict_b, dtype=it)
+        word = jnp.clip(jnp.searchsorted(bounds, pidx, side="right"),
+                        0, nph_b - 1)
+        wstart = bounds[word] - contrib[word]
+        within = pidx - wstart
+        ch = jnp.where(
+            within < dict_len[word],
+            Tp[jnp.clip(dict_start[word] + within, 0, tb - 1)],
+            jnp.uint8(EndOfWord),
+        )
+        return jnp.where(pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))
+
+    df_j = jax.jit(_dict_flat_core)
+    if "j3" in pieces:
+        t("J3: dict_flat build", lambda: int(np.asarray(df_j(
+            Tp, dict_start, dict_len, jnp.int64(D),
+            jnp.int64(dict_total)).astype(jnp.int32).sum())))
+    dict_flat = df_j(Tp, dict_start, dict_len, jnp.int64(D),
+                     jnp.int64(dict_total))
+
+    def _sym_of(dict_flat):
+        it = jnp.int32
+        Dn = dict_flat.shape[0]
+        iota = jnp.arange(Dn, dtype=it)
+        is_eow = dict_flat == EndOfWord
+        word_id = jnp.concatenate(
+            (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1]))
+        dwords = jnp.sum(is_eow.astype(it))
+        sym = dict_flat.astype(it) + (dwords + it(1))
+        sym = jnp.where(is_eow, it(1) + word_id, sym)
+        return jnp.where(dict_flat == EndOfDict, it(0), sym)
+
+    if "j3" in pieces:
+        dbl_j = jax.jit(
+            lambda df: _doubling_jax(_sym_of(df), impl="lax")[0][:8].sum())
+        t(f"J3: dict doubling sort [lax] (n={dict_b})",
+          lambda: int(np.asarray(dbl_j(dict_flat))))
+
+        seg_j = jax.jit(lambda df: (
+            segmented_suffix_hashes_jax(
+                df, _suf_len(df), int(_HB1)).sum()
+            + segmented_suffix_hashes_jax(
+                df, _suf_len(df), int(_HB2)).sum()))
+
+        def _suf_len(df):
+            it = jnp.int32
+            Dn = df.shape[0]
+            iota = jnp.arange(Dn, dtype=it)
+            is_sep = (df == EndOfWord) | (df == EndOfDict)
+            sep_idx = jnp.where(is_sep, iota, it(Dn))
+            return jax.lax.cummin(sep_idx, reverse=True) - iota
+
+        t("J3: segmented suffix hashes u64 x2", lambda: int(np.asarray(
+            seg_j(dict_flat))))
+
+        from pfbwtf_tpu.ops.parse_bwt import parse_bwt_core
+        pb_j = jax.jit(partial(
+            lambda pr, l, s, n, impl: parse_bwt_core(
+                pr.astype(jnp.int64), l, s, n, impl=impl)[1][:8].sum(),
+            impl="lax"))
+        t(f"J3: parse-BWT (doubling at nph_b={nph_b})",
+          lambda: int(np.asarray(pb_j(
+              parse_ranks, last, sai, jnp.int64(ncuts + 1)))))
+
+    # ---------------- emission sort shapes ----------------
+    if "emission" in pieces:
+        rng = np.random.default_rng(3)
+        gid_like = np.sort(rng.integers(0, nsuf, size=total_b)).astype(
+            np.int64)
+        j_like = rng.permutation(total_b).astype(np.int64)
+        dg = jax.device_put(gid_like)
+        dj = jax.device_put(j_like)
+
+        em_lax = jax.jit(lambda g, j: jnp.argsort(
+            g * jnp.int64(total_b + 1) + j)[:8].sum())
+        t(f"emission argsort int64 [lax] (n={total_b})",
+          lambda: int(np.asarray(em_lax(dg, dj))))
+
+        rep_j = jax.jit(lambda c: jnp.repeat(
+            jnp.arange(nsuf_b, dtype=jnp.int32), c,
+            total_repeat_length=total_b)[:8].sum())
+        counts = np.zeros(nsuf_b, np.int32)
+        k = total_b // max(nsuf, 1)
+        counts[:nsuf] = k
+        counts[0] += total_b - int(counts.sum())
+        t(f"emission jnp.repeat (n={total_b})",
+          lambda: int(np.asarray(rep_j(jax.device_put(counts)))))
+
+    # ---------------- u32 candidates ----------------
+    if "u32" in pieces:
+        def pow_u32(base, nexp):
+            e = jnp.arange(nexp, dtype=jnp.uint32)
+            acc = jnp.ones(nexp, jnp.uint32)
+            b = int(base) & 0xFFFFFFFF
+            for bit in range(max(int(nexp - 1).bit_length(), 1)):
+                m = ((e >> np.uint32(bit)) & np.uint32(1)) != 0
+                acc = jnp.where(m, acc * np.uint32(b), acc)
+                b = (b * b) & 0xFFFFFFFF
+            return acc
+
+        def cumsum_u32(x, reverse=False):
+            xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+            c = jax.lax.associative_scan(
+                jnp.add, xi, reverse=reverse)
+            return jax.lax.bitcast_convert_type(c, jnp.uint32)
+
+        pow64_j = jax.jit(lambda: pow_u64_jax(int(_HB1), tb)[-1])
+        t("pow_u64 (tb)", lambda: int(np.asarray(pow64_j())))
+        pow32_j = jax.jit(lambda: pow_u32(0x9E3779B1, tb)[-1])
+        t("pow_u32 (tb)", lambda: int(np.asarray(pow32_j())))
+
+        x64 = jax.device_put(
+            np.random.default_rng(5).integers(
+                0, 1 << 63, size=tb).astype(np.uint64))
+        c64_j = jax.jit(lambda x: cumsum_u64_jax(x, reverse=True)[0])
+        t("cumsum_u64 rev (tb)", lambda: int(np.asarray(c64_j(x64))))
+        x32 = jax.device_put(
+            np.random.default_rng(5).integers(
+                0, 1 << 31, size=tb).astype(np.uint32))
+        c32_j = jax.jit(lambda x: cumsum_u32(x, reverse=True)[0])
+        t("cumsum_u32 rev (tb, assoc-scan i32)",
+          lambda: int(np.asarray(c32_j(x32))))
+
+        def sub_hash_u32(Tp, starts, lens, base):
+            c = Tp.astype(jnp.uint32)
+            powers = pow_u32(base, tb)
+            G = jnp.concatenate(
+                (cumsum_u32(c * powers, reverse=True),
+                 jnp.zeros(1, jnp.uint32)))
+            inv_powers = pow_u32(pow(int(base), -1, 1 << 32), tb)
+            s = jnp.clip(starts, 0, tb - 1)
+            e = jnp.clip(starts + lens, 0, tb)
+            return (G[s] - G[e]) * inv_powers[s]
+
+        sub32_j = jax.jit(lambda Tp, s, l: (
+            sub_hash_u32(Tp, s, l, 0x9E3779B1).astype(jnp.uint64).sum()
+            + sub_hash_u32(Tp, s, l, 0x85EBCA77).astype(jnp.uint64).sum()
+            + sub_hash_u32(Tp, s, l, 0xC2B2AE3D).astype(jnp.uint64).sum()))
+        t("J2 candidate: substring hashes u32 x3", lambda: int(np.asarray(
+            sub32_j(Tp, dict_start, dict_len))))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,11 +11,14 @@ Prints one JSON line per (engine, size).
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

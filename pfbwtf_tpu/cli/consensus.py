@@ -46,8 +46,8 @@ def main(argv=None):
     # reference flag map (consensus.cpp:1166-1167, 1245-1256): -w is the
     # MARKER window (ma_w), -l the inter-contig length bias (len_bias,
     # the w-pad added to marker text positions at each contig end)
-    ap.add_argument("-w", "--marker_wsize", type=int, default=10,
-                    dest="marker_wsize")
+    ap.add_argument("-w", "--marker_wsize", type=int, default=19,
+                    dest="marker_wsize")  # reference default, consensus.cpp:1144
     ap.add_argument("-l", "--marker_length_bias", type=int, default=10,
                     dest="w")
     ap.add_argument("-p", "--prefix", default="",

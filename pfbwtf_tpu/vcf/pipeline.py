@@ -22,6 +22,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..io import formats
+from ..utils.errors import die
 from ..io.fasta import write_fai
 from ..markers.ma import marker_array_from_sa, write_marker_array
 from ..markers.mps import write_mps_runs, read_mps_runs
@@ -53,7 +54,53 @@ class VcfToBwtConfig:
     backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
 
 
-_SCAN_CTX = None  # (vcf, cfg) inherited by fork workers — no input pickling
+_SCAN_CTX = None  # (vcf, cfg) set in each worker by _scan_init
+
+
+def _scan_init(vcf, cfg):
+    """Set the scan context (used in-process and by scan_worker children)."""
+    global _SCAN_CTX
+    _SCAN_CTX = (vcf, cfg)
+
+
+def _scan_subprocess(vcf, cfg, tasks, nworkers: int):
+    """Run the haplotype scans in ``python -m pfbwtf_tpu.vcf.scan_worker``
+    child processes (bounded to ``nworkers`` concurrent), returning results
+    in task order.  See scan_worker's docstring for why this is neither a
+    fork pool nor multiprocessing spawn."""
+    import pickle
+    import subprocess
+    import tempfile
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = os.environ.copy()
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    with tempfile.TemporaryDirectory(prefix="pfbwt_scan") as td:
+        ctx_path = os.path.join(td, "ctx.pkl")
+        with open(ctx_path, "wb") as f:
+            pickle.dump((vcf, cfg, tasks), f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        outs = [os.path.join(td, f"scan{i}.pkl") for i in range(len(tasks))]
+        pending = list(range(len(tasks)))
+        running: list = []
+        while pending or running:
+            while pending and len(running) < nworkers:
+                i = pending.pop(0)
+                running.append((i, subprocess.Popen(
+                    [sys.executable, "-m", "pfbwtf_tpu.vcf.scan_worker",
+                     ctx_path, str(i), outs[i]], env=env)))
+            i, proc = running.pop(0)
+            rc = proc.wait()  # returncode checked per reference
+            if rc != 0:       # (vcf_to_bwt.py:130-136)
+                for _, p in running:
+                    p.terminate()
+                die(f"haplotype scan worker {i} failed (exit {rc})")
+        results = []
+        for path in outs:
+            with open(path, "rb") as f:
+                results.append(pickle.load(f))
+        return results
 
 
 def _scan_one(task):
@@ -72,8 +119,7 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
     samples = cfg.samples if cfg.samples else list(vcf.samples)
 
     # scan ref + every haplotype — data-parallel across haplotypes via a
-    # fork process pool, the reference's mp.Pool (vcf_to_bwt.py:230-237);
-    # workers inherit the parsed columnar VCF copy-on-write
+    # spawn process pool, the reference's mp.Pool (vcf_to_bwt.py:230-237)
     tasks = [("", 0, True)] + [
         (sample, hap, False) for sample in samples for hap in (0, 1)
     ]
@@ -85,12 +131,9 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
     _SCAN_CTX = (vcf, cfg)
     with task_timer("scanning VCF haplotypes"):
         if cfg.threads > 1 and len(tasks) > 1:
-            import multiprocessing as mp
-
-            with mp.get_context("fork").Pool(
-                min(cfg.threads, len(tasks))
-            ) as pool:
-                scans = pool.map(_scan_one, tasks)
+            scans = _scan_subprocess(
+                vcf, cfg, tasks, min(cfg.threads, len(tasks))
+            )
         else:
             scans = [_scan_one(t) for t in tasks]
     _SCAN_CTX = None

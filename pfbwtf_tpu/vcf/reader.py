@@ -210,7 +210,7 @@ def _open_lines(fname: str):
 
 _BCF_MISSING = {1: -0x80, 2: -0x8000, 3: -0x80000000}
 _BCF_EOV = {1: -0x7F, 2: -0x7FFF, 3: -0x7FFFFFFF}
-_BCF_WIDTH = {1: 1, 2: 2, 3: 4, 5: 4, 7: 1}
+_BCF_WIDTH = {0: 0, 1: 1, 2: 2, 3: 4, 5: 4, 7: 1}  # 0 = MISSING (no payload)
 _BCF_DTYPE = {1: "<i1", 2: "<i2", 3: "<i4", 5: "<f4", 7: "S1"}
 
 
@@ -249,6 +249,8 @@ class _BcfBuf:
 
     def typed_string(self) -> bytes:
         t, cnt = self.typed_header()
+        if t == 0 or cnt == 0:  # spec-legal MISSING / empty typed value
+            return b""
         data = self.take(cnt * _BCF_WIDTH[t])
         return data if t == 7 else b""
 
@@ -359,6 +361,9 @@ class VCF:
         header = fp.read(l_text).rstrip(b"\x00")
 
         str_dict: dict = {0: b"PASS"}
+        str_ids: dict = {b"PASS": 0}  # ID string -> index (htslib: one
+        # index per DISTINCT ID across FILTER/INFO/FORMAT — e.g. DP in
+        # both INFO and FORMAT shares an index)
         contig_dict: dict = {}
         next_str, next_ctg = 1, 0
 
@@ -374,14 +379,18 @@ class VCF:
         for line in header.split(b"\n"):
             if line.startswith((b"##FILTER=", b"##INFO=", b"##FORMAT=")):
                 f = _fields(line)
-                if f.get(b"ID") == b"PASS":
+                ident = f.get(b"ID", b"?")
+                if ident == b"PASS":
                     continue  # implicit index 0
                 if b"IDX" in f:
                     idx = int(f[b"IDX"])
+                elif ident in str_ids:
+                    idx = str_ids[ident]  # repeated ID: reuse its index
                 else:
                     idx, next_str = next_str, next_str + 1
                 if idx not in str_dict:
-                    str_dict[idx] = f.get(b"ID", b"?")
+                    str_dict[idx] = ident
+                str_ids.setdefault(ident, idx)
                 next_str = max(next_str, idx + 1)
             elif line.startswith(b"##contig="):
                 f = _fields(line)

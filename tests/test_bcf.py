@@ -229,3 +229,29 @@ def test_merge_vcfs_mixed_formats(tmp_path):
         for x, y in zip(ra, rb):
             assert (x.pos, x.alleles) == (y.pos, y.alleles)
             assert np.array_equal(x.gts._row, y.gts._row)
+
+
+def test_bcf_repeated_id_across_sections():
+    """An ID repeated across INFO and FORMAT without IDX= shares ONE
+    dictionary index (htslib bcf_hdr semantics): DP in both sections must
+    not shift GT's implicit index, or genotypes silently decode missing."""
+    prefix = tmp_prefix("bcfdup")
+    vcf_path, bcf_path = prefix + ".vcf", prefix + ".bcf"
+    with open(vcf_path, "wb") as f:
+        f.write(
+            b"##fileformat=VCFv4.2\n"
+            b"##contig=<ID=cY,length=50>\n"
+            b'##FILTER=<ID=q10,Description="Q">\n'
+            b'##INFO=<ID=DP,Number=1,Type=Integer,Description="D">\n'
+            b'##FORMAT=<ID=DP,Number=1,Type=Integer,Description="D">\n'
+            b'##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+            b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\n"
+            b"cY\t5\tv1\tA\tG\t.\tq10\t.\tGT\t1|0\n"
+            b"cY\t9\tv2\tC\tT\t.\t.\t.\tGT\t0/1\n"
+        )
+    vcf_text_to_bcf(vcf_path, bcf_path)
+    v = VCF(bcf_path)
+    r = v.records_for_contig("cY")
+    assert list(r[0].gts[0]) == [1, 0]
+    assert list(r[1].gts[0]) == [0, 1]
+    assert r[0].filter == "q10"
