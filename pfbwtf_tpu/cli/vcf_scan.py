@@ -29,8 +29,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     write_fai(args.ref_fasta)
-    vcf = merge_vcfs(args.vcfs)
     contigs = [c for c in args.contigs.split(",") if c] or None
+    # index-seek per contig when a .csi/.tbi exists next to a bgzip'd VCF
+    vcf = merge_vcfs(args.vcfs, contigs=contigs)
     samples = [s for s in args.samples.split(",") if s]
     targets = [""] if args.ref_only else samples
 

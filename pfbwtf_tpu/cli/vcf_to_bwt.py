@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--ma_wsize", default=1, type=int)
     ap.add_argument("--wsize", default=10, type=int)
     ap.add_argument("--mod", default=10, type=int)
+    ap.add_argument("--contigs", default="",
+                    help="comma-separated contig subset (uses the VCF's "
+                         ".csi/.tbi index to seek when present)")
     ap.add_argument("--u32", action="store_true")
     ap.add_argument("--device", action="store_true",
                     help="device-resident pipeline (scan, dict sort, "
@@ -59,6 +62,7 @@ def main(argv=None):
         keep_parse=args.keep_parse or not args.clean,
         threads=args.threads,
         dtype=formats.U32 if args.u32 else formats.U64,
+        contigs=[c for c in args.contigs.split(",") if c] or None,
     )
     vcf_to_bwt(cfg)
     return 0

@@ -7,11 +7,14 @@ but vectorizable over millions of queries at once, which is what the SA->MA
 permute needs (write_marker_array feeds every SA value through ``at``).
 """
 
+import struct
 from typing import List
 
 import numpy as np
 
 from .mps import read_mps_runs
+
+_RLWA_MAGIC = b"RLWA1\n"
 
 
 class RleWindowArray:
@@ -24,6 +27,76 @@ class RleWindowArray:
         self.starts = starts.astype(np.int64)
         self.ends = ends.astype(np.int64)
         self.markers = markers
+
+    # -- serialize/load of the BUILT structure (rle_window_array.hpp:174-198
+    # round-trips its sd_vectors; this is the array-native equivalent — own
+    # compact format, since sdsl's on-disk layout is library-internal) -----
+
+    def serialize(self, path_or_fp) -> int:
+        """Write the built structure; returns bytes written."""
+        fp = (
+            open(path_or_fp, "wb")
+            if isinstance(path_or_fp, (str, bytes))
+            else path_or_fp
+        )
+        own = fp is not path_or_fp
+        try:
+            counts = np.fromiter(
+                (len(m) for m in self.markers), dtype=np.int64,
+                count=len(self.markers),
+            )
+            flat = (
+                np.concatenate(
+                    [np.asarray(m, dtype=np.uint64) for m in self.markers]
+                )
+                if len(self.markers)
+                else np.zeros(0, np.uint64)
+            )
+            n = 0
+            for chunk in (
+                _RLWA_MAGIC,
+                struct.pack("<q", self.starts.size),
+                self.starts.tobytes(),
+                self.ends.tobytes(),
+                counts.tobytes(),
+                struct.pack("<q", flat.size),
+                flat.tobytes(),
+            ):
+                fp.write(chunk)
+                n += len(chunk)
+            return n
+        finally:
+            if own:
+                fp.close()
+
+    @classmethod
+    def load(cls, path_or_fp) -> "RleWindowArray":
+        fp = (
+            open(path_or_fp, "rb")
+            if isinstance(path_or_fp, (str, bytes))
+            else path_or_fp
+        )
+        own = fp is not path_or_fp
+        try:
+            if fp.read(len(_RLWA_MAGIC)) != _RLWA_MAGIC:
+                raise ValueError("not a serialized RleWindowArray")
+            (nruns,) = struct.unpack("<q", fp.read(8))
+            starts = np.frombuffer(fp.read(8 * nruns), dtype=np.int64)
+            ends = np.frombuffer(fp.read(8 * nruns), dtype=np.int64)
+            counts = np.frombuffer(fp.read(8 * nruns), dtype=np.int64)
+            (nflat,) = struct.unpack("<q", fp.read(8))
+            flat = np.frombuffer(fp.read(8 * nflat), dtype=np.uint64)
+            obj = cls.__new__(cls)
+            obj.starts = starts.copy()
+            obj.ends = ends.copy()
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            obj.markers = [
+                flat[bounds[i] : bounds[i + 1]].copy() for i in range(nruns)
+            ]
+            return obj
+        finally:
+            if own:
+                fp.close()
 
     def run_index(self, pos) -> np.ndarray:
         """Vectorized: run id covering each position, or -1."""

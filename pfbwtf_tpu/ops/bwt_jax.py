@@ -95,19 +95,23 @@ def assemble_core(
         (jnp.ones(1, it), it(1) + jnp.cumsum(occs_n)[:-1])
     )
     counts = jnp.where(suf_valid, occs_n[u], it(0))
-    E_suffix = jnp.repeat(
-        jnp.arange(nsuf_b, dtype=it), counts,
-        total_repeat_length=total_b,
-    )
+    # emission fan-out WITHOUT jnp.repeat (measured ~0.6 s per repeat over
+    # total_b at 16 MB): scatter suffix ids at their segments' first
+    # emission slots (strictly increasing across count>0 segments, so the
+    # scatter is collision-free) and forward-fill with a native cummax
     first = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum(counts)[:-1]))
-    within = jnp.arange(total_b, dtype=it) - jnp.repeat(
-        first, counts, total_repeat_length=total_b
+    eidx = jnp.arange(total_b, dtype=it)
+    mark = (
+        jnp.zeros(total_b, it)
+        .at[jnp.where(counts > 0, first, it(total_b))]
+        .set(jnp.arange(nsuf_b, dtype=it) + 1, unique_indices=True,
+             mode="drop")
     )
-    e_valid = jnp.arange(total_b, dtype=it) < it(total_true)
+    E_suffix = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_b - 1)
+    within = eidx - first[E_suffix]
+    e_valid = eidx < it(total_true)
     slot = jnp.clip(
-        jnp.repeat(seg_start[u], counts, total_repeat_length=total_b) + within,
-        0,
-        ilist.shape[0] - 1,
+        seg_start[u][E_suffix] + within, 0, ilist.shape[0] - 1
     )
     E_j = ilist[slot]
     # final order: (gid, j); invalid emissions sort last.  lax: one packed

@@ -123,39 +123,50 @@ def _chunk_at(Tp, rs, rl, valid, off):
     return jnp.where(valid, val, _U64MAX)
 
 
+_LEX_WORDS = 4  # 8-byte words consumed per refinement round (32 bytes)
+
+
 def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
     """0-based byte-lex rank of each valid (start, len) rep; early-exit
-    chunk refinement (see module docstring)."""
+    chunk refinement, 32 bytes per round (see module docstring).  Wider
+    rounds quarter the while_loop trip count — the loop was measured
+    dominating J2 at 8 bytes/round (2.2 s of 4.4 s at 16 MB)."""
     import jax
     import jax.numpy as jnp
 
     R = rs.shape[0]
     it = jnp.int32 if R < 2**31 - 2 else jnp.int64
     inv = (~valid).astype(it)
+    span = 8 * _LEX_WORDS
 
-    def ranks_and_done(order, k_rank, k_chunk):
-        # densify lexicographic (inv, rank, chunk) group ids; count the
+    def chunks_at(off):
+        return [
+            _chunk_at(Tp, rs, rl, valid, off + 8 * wd)
+            for wd in range(_LEX_WORDS)
+        ]
+
+    def ranks_and_done(order, k_rank, k_chunks):
+        # densify lexicographic (inv, rank, chunks...) group ids; count the
         # distinct groups among valid lanes (invalid lanes sort last, so a
         # group is valid iff its head lane is valid)
-        i_s, r_s, c_s = inv[order], k_rank[order], k_chunk[order]
-        changed = jnp.concatenate(
-            (
-                jnp.zeros(1, it),
-                (
-                    (i_s[1:] != i_s[:-1])
-                    | (r_s[1:] != r_s[:-1])
-                    | (c_s[1:] != c_s[:-1])
-                ).astype(it),
-            )
-        )
+        keys = [inv[order], k_rank[order]] + [c[order] for c in k_chunks]
+        neq = None
+        for k in keys:
+            d = k[1:] != k[:-1]
+            neq = d if neq is None else (neq | d)
+        changed = jnp.concatenate((jnp.zeros(1, it), neq.astype(it)))
         nr = jnp.cumsum(changed)
-        rank = jnp.zeros(R, it).at[order].set(nr)
+        rank = (
+            jnp.zeros(R, it)
+            .at[order]
+            .set(nr, unique_indices=True, mode="promise_in_bounds")
+        )
         head = changed.at[0].set(1)
         ngroups = jnp.sum(jnp.where(valid[order], head, 0).astype(jnp.int64))
         return rank, ngroups
 
-    c0 = _chunk_at(Tp, rs, rl, valid, 0)
-    order0 = jnp.lexsort((c0, inv))
+    c0 = chunks_at(0)
+    order0 = jnp.lexsort(tuple(reversed(c0)) + (inv,))
     rank, ngroups = ranks_and_done(order0, jnp.zeros(R, it), c0)
 
     def cond(carry):
@@ -164,12 +175,14 @@ def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
 
     def body(carry):
         rank, off, _ = carry
-        c = _chunk_at(Tp, rs, rl, valid, off)
-        order = jnp.lexsort((c, rank, inv))
+        c = chunks_at(off)
+        order = jnp.lexsort(tuple(reversed(c)) + (rank, inv))
         rank, ngroups = ranks_and_done(order, rank, c)
-        return rank, off + 8, ngroups
+        return rank, off + span, ngroups
 
-    rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int64(8), ngroups))
+    rank, _, _ = jax.lax.while_loop(
+        cond, body, (rank, jnp.int64(span), ngroups)
+    )
     return rank.astype(jnp.int64)  # 0-based; invalid lanes share top ranks
 
 
@@ -227,7 +240,11 @@ def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
     )
     gid_sorted = (jnp.cumsum(head.astype(it)) - 1).astype(jnp.int64)
     D = jnp.sum((head & v_o).astype(jnp.int64))  # valid groups come first
-    gid = jnp.zeros(nph_b, jnp.int64).at[order].set(gid_sorted)
+    gid = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[order]
+        .set(gid_sorted, unique_indices=True, mode="promise_in_bounds")
+    )
     # representative (first-in-sorted) start/len per group: exactly one head
     # per group, and non-head lanes contribute 0, so scatter-add == set
     rep_start = (
@@ -300,18 +317,27 @@ def _final_core(
     from .bwt_jax import assemble_core
     from .parse_bwt import parse_bwt_core
 
+    import jax
+
     nph_b = parse_ranks.shape[0]
     tb = Tp.shape[0]
     it = jnp.int32 if max(dict_b, nph_b) < 2**31 - 2 else jnp.int64
     r = jnp.arange(nph_b, dtype=it)
     # dict byte array: word r spans [bounds[r]-contrib[r], bounds[r]) with
-    # its EndOfWord at bounds[r]-1; EndOfDict terminator + zero pads after
+    # its EndOfWord at bounds[r]-1; EndOfDict terminator + zero pads after.
+    # word-of-position via scatter word ids at word starts + cummax — a
+    # searchsorted here is log2(nph_b) gather passes over dict_b lanes
+    # (measured 1.1 s of J3 at 16 MB); the scatter is collision-free
+    # (valid word starts are strictly increasing: contrib >= 1)
     contrib = jnp.where(r < it(D), dict_len.astype(it) + 1, it(0))
     bounds = jnp.cumsum(contrib)
     pidx = jnp.arange(dict_b, dtype=it)
-    word = jnp.clip(
-        jnp.searchsorted(bounds, pidx, side="right"), 0, nph_b - 1
+    mark = (
+        jnp.zeros(dict_b, it)
+        .at[jnp.where(r < it(D), bounds - contrib, it(dict_b))]
+        .set(r + 1, unique_indices=True, mode="drop")
     )
+    word = jnp.clip(jax.lax.cummax(mark) - 1, 0, nph_b - 1)
     wstart = bounds[word] - contrib[word]
     within = pidx - wstart
     ch = jnp.where(

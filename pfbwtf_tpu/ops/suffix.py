@@ -275,6 +275,10 @@ def _doubling_jax(keys, impl: str = "lax"):
     idx = jnp.arange(n, dtype=it)
     use_radix = impl == "radix" and narrow
 
+    # order is a permutation, so the rank scatter is collision-free:
+    # unique_indices + promise_in_bounds let XLA emit a plain permuted
+    # store instead of the collision-safe scatter protocol (measured
+    # ~500 ms/round -> sort-bound on a 5M dict at 16 MB input)
     def densify1(order, ck):
         cks = ck[order]
         changed = jnp.concatenate(
@@ -284,7 +288,11 @@ def _doubling_jax(keys, impl: str = "lax"):
             )
         )
         new_rank = jnp.cumsum(changed)
-        return jnp.zeros(n, it).at[order].set(new_rank)
+        return (
+            jnp.zeros(n, it)
+            .at[order]
+            .set(new_rank, unique_indices=True, mode="promise_in_bounds")
+        )
 
     def densify2(order, r, k2):
         r_s, k_s = r[order], k2[order]
@@ -295,7 +303,11 @@ def _doubling_jax(keys, impl: str = "lax"):
             )
         )
         new_rank = jnp.cumsum(changed)
-        return jnp.zeros(n, it).at[order].set(new_rank)
+        return (
+            jnp.zeros(n, it)
+            .at[order]
+            .set(new_rank, unique_indices=True, mode="promise_in_bounds")
+        )
 
     k0 = keys.astype(jnp.int64)
     order0 = jnp.argsort(k0)

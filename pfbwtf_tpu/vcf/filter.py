@@ -5,6 +5,13 @@ The reference delegates to htslib's filter engine
 practically-used core of that language over per-site fields:
 
   fields     TYPE, QUAL, FILTER, POS, ID, REF, ALT
+  INFO       INFO/TAG or bare TAG (numeric, string, flag, or
+             comma-separated vectors with any-element semantics);
+             a bare flag is a boolean atom (``-i 'DB'``)
+  FORMAT     GT / FMT/GT compared against bcftools genotype classes
+             ("mis" "het" "hom" "ref" "alt" "hap") or a literal genotype
+             ("0/1"; | and / compare equal) — true if ANY sample matches,
+             bcftools' site-level semantics
   TYPE       "snp" | "indel" | "mnp" | "ref" | "other" (any ALT matches)
   operators  == (=), !=, <, <=, >, >=, && (&), || (|), !, parentheses
   literals   "strings", 'strings', numbers
@@ -12,7 +19,8 @@ practically-used core of that language over per-site fields:
 POS is 1-based as in bcftools.  QUAL comparisons against a missing QUAL
 ('.') are false, matching htslib's missing-value semantics.  FILTER
 equality treats "PASS" and "." per bcftools: FILTER="PASS" matches PASS
-only; FILTER="." matches missing.
+only; FILTER="." matches missing.  Missing INFO tags never satisfy a
+comparison (and their flags are false).
 
 Usage: ``f = compile_filter('TYPE="snp" && QUAL>30'); f(rec) -> bool``.
 """
@@ -130,7 +138,7 @@ class _Parser:
             return ("num", float(t))
         except ValueError:
             pass
-        return ("field", t.upper())
+        return ("field", t)  # case kept: INFO tags are case-sensitive
 
     def cmp_expr(self):
         lhs = self._value()
@@ -141,28 +149,111 @@ class _Parser:
             self.take()
             rhs = self._value()
             return _make_cmp(lhs, op, rhs)
-        # bare field used as boolean is not part of the supported core
+        if lhs[0] == "field":  # bare field = boolean atom (INFO flags)
+            name = lhs[1]
+            return lambda rec, name=name: _field_truth(name, rec)
         die(f"filter expression: expected comparison after {lhs[1]}")
 
     # pragma: no cover — die raises
 
 
+class _GTVals(list):
+    """Per-sample genotype strings — distinguishes GT from INFO vectors."""
+
+
+_CORE_FIELDS = {"TYPE", "QUAL", "FILTER", "POS", "ID", "REF", "ALT", "GT"}
+
+
+def _info_lookup(tag: str, rec):
+    """Value of INFO tag: None (absent), True (flag), or list of string
+    elements (comma-split)."""
+    info = getattr(rec, "info", ".") or "."
+    if info in (".", ""):
+        return None
+    for part in info.split(";"):
+        if not part:
+            continue
+        if "=" in part:
+            k, v = part.split("=", 1)
+            if k == tag:
+                return v.split(",")
+        elif part == tag:
+            return True
+    return None
+
+
+def _gt_values(rec) -> "_GTVals":
+    out = _GTVals()
+    gts = rec.gts
+    for s in range(len(gts)):
+        a, b = int(gts[s][0]), int(gts[s][1])
+        out.append(
+            ("." if a < 0 else str(a)) + "/" + ("." if b < 0 else str(b))
+        )
+    return out
+
+
 def _field_value(name: str, rec):
-    if name == "TYPE":
+    upper = name.upper()
+    if upper == "TYPE":
         return _rec_type(rec)
-    if name == "QUAL":
+    if upper == "QUAL":
         return rec.qual
-    if name == "FILTER":
+    if upper == "FILTER":
         return rec.filter
-    if name == "POS":
+    if upper == "POS":
         return rec.pos + 1  # bcftools POS is 1-based
-    if name == "ID":
+    if upper == "ID":
         return rec.vid
-    if name == "REF":
+    if upper == "REF":
         return rec.alleles[0]
-    if name == "ALT":
+    if upper == "ALT":
         return rec.alleles[1] if len(rec.alleles) > 1 else "."
-    die(f"filter expression: unsupported field {name}")
+    if upper in ("GT", "FMT/GT", "FORMAT/GT"):
+        return _gt_values(rec)
+    if name.startswith(("INFO/", "info/")):
+        return _info_lookup(name.split("/", 1)[1], rec)
+    # bare identifier falls through to INFO (bcftools behavior)
+    return _info_lookup(name, rec)
+
+
+def _field_truth(name: str, rec) -> bool:
+    """Bare-field boolean: flag present, or value present and nonzero."""
+    val = _field_value(name, rec)
+    if val is None:
+        return False
+    if val is True:
+        return True
+    if isinstance(val, _GTVals):
+        return any(g != "./." for g in val)
+    if isinstance(val, list):
+        return any(v not in (".", "", "0") for v in val)
+    return bool(val)
+
+
+_GT_CLASSES = ("mis", "het", "hom", "ref", "alt", "hap")
+
+
+def _gt_matches(g: str, want: str) -> bool:
+    """One sample genotype vs a bcftools GT class or literal genotype."""
+    want = want.replace("|", "/")
+    a, b = g.split("/")
+    low = want.lower()
+    if low == "mis":
+        return a == "." and b == "."
+    if a == "." and b == ".":
+        return low == "mis"
+    if low == "het":
+        return a != b and a != "." and b != "."
+    if low == "hom":
+        return a == b and a != "."
+    if low == "ref":
+        return a == "0" and b == "0"
+    if low == "alt":
+        return (a not in (".", "0")) or (b not in (".", "0"))
+    if low == "hap":
+        return a == b  # haploid records store duplicated haplotypes
+    return g == want or g == "/".join(reversed(want.split("/")))
 
 
 def _make_cmp(lhs, op, rhs):
@@ -176,6 +267,45 @@ def _make_cmp(lhs, op, rhs):
 
     def cmp(rec):
         val = _field_value(name, rec)
+        if val is None:  # absent INFO tag: no comparison matches
+            return op == "!=" if rhs[0] != "num" else False
+        if val is True:  # INFO flag compared numerically (FLAG=1 / =0)
+            if rhs[0] == "num":
+                r = rhs[1]
+                return {"==": r == 1, "=": r == 1, "!=": r != 1}.get(
+                    op, False
+                )
+            return False
+        if isinstance(val, _GTVals):  # any-sample semantics
+            if rhs[0] != "str":
+                die("filter expression: GT compares against a string")
+            hits = (_gt_matches(g, rhs[1]) for g in val)
+            if op in ("==", "="):
+                return any(hits)
+            if op == "!=":
+                return any(not h for h in hits)
+            die(f"filter expression: GT does not support {op}")
+        if isinstance(val, list):  # INFO vector: any-element semantics
+            if rhs[0] == "num":
+                nums = []
+                for v in val:
+                    try:
+                        nums.append(float(v))
+                    except ValueError:
+                        pass
+                r = rhs[1]
+                tests = {
+                    "==": lambda x: x == r, "=": lambda x: x == r,
+                    "!=": lambda x: x != r, "<": lambda x: x < r,
+                    "<=": lambda x: x <= r, ">": lambda x: x > r,
+                    ">=": lambda x: x >= r,
+                }[op]
+                return any(tests(x) for x in nums)
+            if op in ("==", "="):
+                return rhs[1] in val
+            if op == "!=":
+                return any(v != rhs[1] for v in val)
+            die(f"filter expression: INFO strings do not support {op}")
         if isinstance(val, set):  # TYPE
             if rhs[0] != "str":
                 die("filter expression: TYPE compares against a string")

@@ -52,9 +52,32 @@ class VcfToBwtConfig:
     threads: int = 1
     dtype: np.dtype = formats.U64
     backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
+    contigs: Optional[List[str]] = None  # restrict (index-seek if .csi/.tbi)
 
 
 _SCAN_CTX = None  # (vcf, cfg) set in each worker by _scan_init
+
+
+def _setup_logger(output: str):
+    """Timestamped dual-handler logger (OUT.log file + stderr), the
+    reference orchestrator's observability surface (vcf_to_bwt.py:194-202).
+    Reconfigured per run so repeated calls don't stack handlers."""
+    import logging
+
+    logger = logging.getLogger("pfbwtf_tpu.vcf_to_bwt")
+    logger.setLevel(logging.DEBUG)
+    logger.propagate = False
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
+    fmt = logging.Formatter("[%(asctime)s] %(message)s")
+    fh = logging.FileHandler(output + ".log", mode="w")
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler(sys.stderr)
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    return logger
 
 
 def _scan_init(vcf, cfg):
@@ -63,7 +86,7 @@ def _scan_init(vcf, cfg):
     _SCAN_CTX = (vcf, cfg)
 
 
-def _scan_subprocess(vcf, cfg, tasks, nworkers: int):
+def _scan_subprocess(vcf, cfg, tasks, nworkers: int, names=None):
     """Run the haplotype scans in ``python -m pfbwtf_tpu.vcf.scan_worker``
     child processes (bounded to ``nworkers`` concurrent), returning results
     in task order.  See scan_worker's docstring for why this is neither a
@@ -84,18 +107,30 @@ def _scan_subprocess(vcf, cfg, tasks, nworkers: int):
         outs = [os.path.join(td, f"scan{i}.pkl") for i in range(len(tasks))]
         pending = list(range(len(tasks)))
         running: list = []
+        logs: list = []
         while pending or running:
             while pending and len(running) < nworkers:
                 i = pending.pop(0)
+                cmd = [sys.executable, "-m", "pfbwtf_tpu.vcf.scan_worker",
+                       ctx_path, str(i), outs[i]]
+                # per-stage .log file: command echo + worker stderr
+                # (the reference's per-haplotype logs, vcf_to_bwt.py:91,112)
+                log_fp = None
+                if names is not None:
+                    log_fp = open(names[i] + ".log", "w")
+                    log_fp.write(" ".join(cmd) + "\n")
+                    log_fp.flush()
+                    logs.append(log_fp)
                 running.append((i, subprocess.Popen(
-                    [sys.executable, "-m", "pfbwtf_tpu.vcf.scan_worker",
-                     ctx_path, str(i), outs[i]], env=env)))
+                    cmd, env=env, stderr=log_fp)))
             i, proc = running.pop(0)
             rc = proc.wait()  # returncode checked per reference
             if rc != 0:       # (vcf_to_bwt.py:130-136)
                 for _, p in running:
                     p.terminate()
                 die(f"haplotype scan worker {i} failed (exit {rc})")
+        for fp in logs:
+            fp.close()
         results = []
         for path in outs:
             with open(path, "rb") as f:
@@ -114,9 +149,14 @@ def _scan_one(task):
 
 def vcf_to_bwt(cfg: VcfToBwtConfig):
     global _SCAN_CTX
+    log = _setup_logger(cfg.output)
     write_fai(cfg.fasta)
-    vcf = merge_vcfs(cfg.vcfs)
+    vcf = merge_vcfs(cfg.vcfs, contigs=cfg.contigs)
     samples = cfg.samples if cfg.samples else list(vcf.samples)
+    log.info(
+        "vcf_to_bwt: %d vcf(s), %d sample(s), w=%d p=%d threads=%d",
+        len(cfg.vcfs), len(samples), cfg.wsize, cfg.mod, cfg.threads,
+    )
 
     # scan ref + every haplotype — data-parallel across haplotypes via a
     # spawn process pool, the reference's mp.Pool (vcf_to_bwt.py:230-237)
@@ -129,10 +169,11 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         for hap in (0, 1)
     ]
     _SCAN_CTX = (vcf, cfg)
+    log.info("generating haplotype sequences from VCF (%d scans)", len(tasks))
     with task_timer("scanning VCF haplotypes"):
         if cfg.threads > 1 and len(tasks) > 1:
             scans = _scan_subprocess(
-                vcf, cfg, tasks, min(cfg.threads, len(tasks))
+                vcf, cfg, tasks, min(cfg.threads, len(tasks)), names=names
             )
         else:
             scans = [_scan_one(t) for t in tasks]
@@ -170,6 +211,7 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         store_docs=True,
         non_acgt_to_a=True,
     )
+    log.info("parsing haplotype collection (%d records)", len(all_records))
     with task_timer("parsing collection"):
         res = engine.parse_records(all_records, params, cfg.backend)
     if cfg.keep_parse:
@@ -183,6 +225,8 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         formats.write_uint(cfg.output + ".bwsai", pb.bwsai, cfg.dtype)
 
     want_sa_vals = cfg.sa or cfg.ma
+    log.info("constructing BWT%s of text collection",
+             " + SA" if want_sa_vals else "")
     with task_timer("generating final BWT"):
         bwt_res = engine.assemble_bwt(
             res.dict_flat(),
@@ -208,6 +252,7 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         with open(cfg.output + ".esa", "wb") as f:
             f.write(bwt_res.esa.astype(cfg.dtype).tobytes())
     if cfg.ma:
+        log.info("constructing marker array from SA stream")
         with task_timer("constructing marker array"):
             mai = RleWindowArray(cfg.output + ".mps")
             if os.environ.get("PFBWT_MA_BACKEND", "").lower() == "jax":
@@ -222,5 +267,7 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
                 )
             with open(cfg.output + ".ma", "wb") as f:
                 write_mps_runs(f, starts, ends, markers)
+    log.info("done: n=%d r=%d n/r=%.3f", res.n, bwt_res.nruns,
+             res.n / max(bwt_res.nruns, 1))
     print(f"n: {res.n}\nr: {bwt_res.nruns}", file=sys.stderr)
     return bwt_res

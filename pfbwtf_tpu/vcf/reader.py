@@ -23,6 +23,7 @@ kept):
 """
 
 import gzip
+import os
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
@@ -40,6 +41,7 @@ class VCFRecord:
     gts: "GTView"
     qual: float = float("nan")  # QUAL column ('.' -> nan)
     filter: str = "."  # FILTER column
+    info: str = "."  # raw INFO column ("K=V;K2=V2;FLAG"; BCF re-encoded)
 
     @property
     def n_allele(self) -> int:
@@ -70,11 +72,12 @@ class _ContigStore:
     __slots__ = (
         "pos", "gts", "allele_arena", "allele_off", "allele_cnt",
         "id_arena", "id_off", "qual", "filter_arena", "filter_off",
+        "info_arena", "info_off",
     )
 
     def __init__(self, pos, gts, allele_arena, allele_off, allele_cnt,
                  id_arena, id_off, qual=None, filter_arena=b"",
-                 filter_off=None):
+                 filter_off=None, info_arena=b"", info_off=None):
         self.pos = pos  # (nrec,) int64
         self.gts = gts  # (nrec, nsamples, 2) int16; -1 = missing
         self.allele_arena = allele_arena  # bytes: alleles joined by ','
@@ -90,6 +93,12 @@ class _ContigStore:
         self.filter_off = (
             filter_off
             if filter_off is not None
+            else np.zeros(nrec + 1, dtype=np.int64)
+        )
+        self.info_arena = info_arena
+        self.info_off = (
+            info_off
+            if info_off is not None
             else np.zeros(nrec + 1, dtype=np.int64)
         )
 
@@ -111,26 +120,69 @@ class _ContigStore:
         s = self.filter_arena[self.filter_off[i]: self.filter_off[i + 1]]
         return s.decode() if s else "."
 
+    def info_of(self, i: int) -> str:
+        s = self.info_arena[self.info_off[i]: self.info_off[i + 1]]
+        return s.decode() if s else "."
+
 
 class _ContigBuilder:
-    __slots__ = ("pos", "gts", "alleles", "ids", "quals", "filters")
+    __slots__ = ("pos", "gts", "alleles", "ids", "quals", "filters",
+                 "infos", "_gt_blocks")
+
+    GT_BLOCK = 1024  # rows per int16 block (bounds python-list overhead)
 
     def __init__(self):
         self.pos: List[int] = []
-        self.gts: List = []
+        self.gts: List = []  # pending rows; blocks of GT_BLOCK -> int16
         self.alleles: List[bytes] = []  # per record: b"ref,alt1,..."
         self.ids: List[bytes] = []
         self.quals: List[float] = []
         self.filters: List[bytes] = []
+        self.infos: List[bytes] = []
+        self._gt_blocks: List[np.ndarray] = []
+
+    def add_gt_row(self, row: List[int]):
+        """Append one record's flattened GT row, converting to compact
+        int16 blocks as we go — a 2,500-sample row as a python int list
+        is ~35x the bytes of its int16 form, which is the difference
+        between parsing a biobank panel and OOM."""
+        self.gts.append(row)
+        if len(self.gts) >= self.GT_BLOCK:
+            self._gt_blocks.append(np.array(self.gts, dtype=np.int16))
+            self.gts = []
+
+    def _gt_matrix(self, nrec: int, nsamples: int) -> np.ndarray:
+        if self.gts:
+            self._gt_blocks.append(np.array(self.gts, dtype=np.int16))
+            self.gts = []
+        if not self._gt_blocks:
+            return np.zeros((0, nsamples, 2), dtype=np.int16)
+        nbytes = nrec * nsamples * 2 * 2
+        spill_mb = int(os.environ.get("PFBWT_GT_MMAP_MB", "4096"))
+        if nbytes > spill_mb << 20:
+            import tempfile
+
+            f = tempfile.NamedTemporaryFile(
+                prefix="pfbwt_gt", suffix=".mm"
+            )
+            out = np.memmap(
+                f, dtype=np.int16, mode="w+", shape=(nrec, nsamples, 2)
+            )
+            out._pfbwt_backing = f  # keep the fd alive  # type: ignore
+        else:
+            out = np.empty((nrec, nsamples, 2), dtype=np.int16)
+        at = 0
+        for blk in self._gt_blocks:
+            k = blk.shape[0]
+            out[at : at + k] = blk.reshape(k, nsamples, 2)
+            at += k
+        self._gt_blocks = []
+        return out
 
     def finish(self, nsamples: int) -> _ContigStore:
         nrec = len(self.pos)
         pos = np.array(self.pos, dtype=np.int64)
-        gts = (
-            np.array(self.gts, dtype=np.int16).reshape(nrec, nsamples, 2)
-            if nrec
-            else np.zeros((0, nsamples, 2), dtype=np.int16)
-        )
+        gts = self._gt_matrix(nrec, nsamples)
         cnt = np.zeros(nrec + 1, dtype=np.int64)
         lens: List[int] = []
         for i, rec_alleles in enumerate(self.alleles):
@@ -159,9 +211,18 @@ class _ContigBuilder:
             filt_arena = b"".join(self.filters)
         else:
             filt_arena = b""
+        info_off = np.zeros(nrec + 1, dtype=np.int64)
+        if len(self.infos) == nrec:
+            np.cumsum(
+                np.array([len(x) for x in self.infos], np.int64),
+                out=info_off[1:],
+            )
+            info_arena = b"".join(self.infos)
+        else:
+            info_arena = b""
         return _ContigStore(
             pos, gts, arena, off, cnt, b"".join(self.ids), id_off,
-            qual, filt_arena, filt_off,
+            qual, filt_arena, filt_off, info_arena, info_off,
         )
 
 
@@ -190,6 +251,7 @@ class _RecordSeq:
             GTView(st.gts[i]),
             qual=float(st.qual[i]),
             filter=st.filter_of(i),
+            info=st.info_of(i),
         )
 
     def __iter__(self) -> Iterator[VCFRecord]:
@@ -261,20 +323,76 @@ class _BcfBuf:
 
 
 class VCF:
-    def __init__(self, fname: str):
+    def __init__(self, fname: str, contigs: Optional[List[str]] = None):
+        """``contigs``: restrict parsing to these contigs.  With a
+        ``.csi``/``.tbi`` index next to a bgzip'd VCF the reader SEEKS to
+        each contig's first record (the reference's bcf_sr_seek workflow,
+        vcf_scanner.hpp:156-206) instead of scanning the whole file."""
         self.fname = fname
         self.contigs: List[str] = []  # header ##contig order
         self.samples: List[str] = []
         self._store: dict = {}  # contig -> _ContigStore
+        self._restrict = list(contigs) if contigs is not None else None
         self._parse(fname)
 
     def _parse(self, fname: str):
+        used_index = False
+        if self._restrict is not None:
+            from . import index as _index
+
+            ipath = _index.find_index(fname)
+            with _open_lines(fname) as probe:
+                is_bcf = (
+                    probe.peek(3)[:3] if hasattr(probe, "peek") else b""
+                ) == b"BCF"
+            if ipath and not is_bcf:
+                idx = _index.load_index(ipath)
+                self._parse_text(
+                    self._indexed_lines(fname, self._restrict, idx)
+                )
+                used_index = True
+        if not used_index:
+            with _open_lines(fname) as fp:
+                head = fp.peek(3)[:3] if hasattr(fp, "peek") else b""
+                if head == b"BCF":
+                    self._parse_bcf(fp)
+                else:
+                    self._parse_text(fp)
+        if self._restrict is not None:
+            want = set(self._restrict)
+            self._store = {
+                c: st for c, st in self._store.items() if c in want
+            }
+            self.contigs = [c for c in self.contigs if c in want]
+
+    def _indexed_lines(self, fname: str, wanted: List[str], idx):
+        """Header lines from the file head, then each wanted contig's
+        record lines starting at its indexed virtual offset (stopping at
+        the first record of a different contig)."""
+        from . import index as _index
+
         with _open_lines(fname) as fp:
-            head = fp.peek(3)[:3] if hasattr(fp, "peek") else b""
-            if head == b"BCF":
-                self._parse_bcf(fp)
-            else:
-                self._parse_text(fp)
+            for line in fp:
+                if not line.startswith(b"#"):
+                    break
+                yield line
+        for c in wanted:
+            vo = idx.get(c)
+            if vo is None:
+                continue
+            target = c.encode()
+            fp2 = _index.open_lines_at(fname, vo)
+            try:
+                seen = False
+                for line in fp2:
+                    col0 = line.split(b"\t", 1)[0]
+                    if col0 == target:
+                        seen = True
+                        yield line
+                    elif seen:
+                        break
+            finally:
+                fp2.close()
 
     def _parse_text(self, fp):
         contig_seen: List[str] = []
@@ -315,6 +433,7 @@ class VCF:
             except ValueError:
                 b.quals.append(float("nan"))
             b.filters.append(cols[6])
+            b.infos.append(cols[7] if cols[7] not in (b".", b"") else b"")
             fmt = cols[8].split(b":") if len(cols) > 8 else []
             gt_idx = fmt.index(b"GT") if b"GT" in fmt else -1
             row: List[int] = []
@@ -335,7 +454,7 @@ class VCF:
                 if len(hap) == 1:
                     hap = [hap[0], hap[0]]
                 row.extend(hap[:2])
-            b.gts.append(row)
+            b.add_gt_row(row)
         nsamples = len(self.samples)
         for contig, b in builders.items():
             self._store[contig] = b.finish(nsamples)
@@ -438,10 +557,32 @@ class VCF:
                 if filt_idx.size
                 else b"."
             )
-            # INFO is not consumed by the pipeline; skip key/value pairs
+            # INFO: re-encode key/value pairs as the text column so the
+            # -i/-e filter engine sees the same surface as text VCFs
+            # (float formatting may differ from the original text; numeric
+            # filter comparisons are unaffected)
+            info_parts: List[bytes] = []
             for _ in range(n_info):
-                shared.typed_ints()
-                shared.skip_typed()
+                ikey = int(shared.typed_ints()[0])
+                t, cnt = shared.typed_header()
+                kname = str_dict.get(ikey, b"?")
+                if t == 0 or cnt == 0:
+                    info_parts.append(kname)  # FLAG
+                elif t == 7:
+                    info_parts.append(
+                        kname + b"=" + shared.take(cnt))
+                elif t == 5:
+                    vals = np.frombuffer(
+                        shared.take(cnt * 4), dtype="<f4")
+                    info_parts.append(kname + b"=" + b",".join(
+                        repr(float(v)).encode() for v in vals))
+                else:
+                    vals = np.frombuffer(
+                        shared.take(cnt * _BCF_WIDTH[t]),
+                        dtype=_BCF_DTYPE[t]).astype(np.int64)
+                    info_parts.append(kname + b"=" + b",".join(
+                        str(int(v)).encode() for v in vals))
+            info_bytes = b";".join(info_parts)
 
             row: List[int] = []
             got_gt = False
@@ -479,7 +620,8 @@ class VCF:
             b.alleles.append(b",".join(a for a in alleles if a))
             b.quals.append(qual)
             b.filters.append(filt)
-            b.gts.append(row)
+            b.infos.append(info_bytes)
+            b.add_gt_row(row)
 
         nsamples = len(self.samples)
         for contig, b in builders.items():
@@ -502,14 +644,17 @@ class VCF:
         return self.samples.index(sample)
 
 
-def merge_vcfs(fnames: List[str]) -> "VCF":
+def merge_vcfs(
+    fnames: List[str], contigs: Optional[List[str]] = None
+) -> "VCF":
     """Multi-VCF support (the reference's synced reader takes a list;
     tests use one file).  Records are concatenated per contig and re-sorted
-    by position; samples must agree or be disjoint per file."""
-    base = VCF(fnames[0])
+    by position; samples must agree or be disjoint per file.  ``contigs``
+    restricts every file (index-seek where a .csi/.tbi exists)."""
+    base = VCF(fnames[0], contigs=contigs)
     if len(fnames) == 1:
         return base
-    extras = [VCF(f) for f in fnames[1:]]
+    extras = [VCF(f, contigs=contigs) for f in fnames[1:]]
     # snapshot each file's OWN sample list before base.samples is extended:
     # pad_gts must index the per-file gts matrix by the per-file layout
     own_samples = {id(v): list(v.samples) for v in [base] + extras}
@@ -545,6 +690,7 @@ def merge_vcfs(fnames: List[str]) -> "VCF":
         ids: List[bytes] = []
         quals: List[float] = []
         filters: List[bytes] = []
+        infos: List[bytes] = []
         cnt_parts = alleles
         for _, st in parts:
             for i in range(len(st)):
@@ -560,12 +706,16 @@ def merge_vcfs(fnames: List[str]) -> "VCF":
                 ids.append(st.id_arena[st.id_off[i]: st.id_off[i + 1]])
                 quals.append(float(st.qual[i]))
                 filters.append(st.filter_of(i).encode())
+                infos.append(
+                    st.info_arena[st.info_off[i]: st.info_off[i + 1]]
+                )
         bld = _ContigBuilder()
         bld.pos = pos[order].tolist()
         bld.alleles = [cnt_parts[i] for i in order]
         bld.ids = [ids[i] for i in order]
         bld.quals = [quals[i] for i in order]
         bld.filters = [filters[i] for i in order]
+        bld.infos = [infos[i] for i in order]
         bld.gts = []  # gts set directly below
         st = bld.finish(0)
         st.gts = gts

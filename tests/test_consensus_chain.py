@@ -50,8 +50,8 @@ def test_filter_errors():
 
     with pytest.raises(PfbwtError):
         compile_filter("TYPE +")
-    with pytest.raises(PfbwtError):
-        compile_filter('INFO/DP>3')(_rec(5, "A", ["T"]))
+    with pytest.raises(PfbwtError):  # TYPE only supports equality
+        compile_filter('TYPE>"snp"')(_rec(5, "A", ["T"]))
 
 
 def _write_case(tmp_path, ref_seq, vcf_lines):
@@ -149,3 +149,59 @@ def test_include_exclude_filters_e2e(tmp_path):
     got2 = out2.read_text().splitlines()[1]
     want2 = ref[:1] + "G" + ref[2:6] + ref[8:]  # snp applied, del applied
     assert got2 == want2
+
+
+def _reci(pos, ref, alts, info=".", gts=((1, 1),), qual=50.0):
+    return VCFRecord(
+        "chr1", pos, "id", [ref] + list(alts),
+        GTView(np.array(gts, dtype=np.int16)), qual=qual, filter="PASS",
+        info=info,
+    )
+
+
+def test_filter_info_numeric_string_flag():
+    f = compile_filter("INFO/DP>10")
+    assert f(_reci(5, "A", ["T"], info="DP=15;DB"))
+    assert not f(_reci(5, "A", ["T"], info="DP=3"))
+    assert not f(_reci(5, "A", ["T"], info="."))  # absent never matches
+    # bare tag falls through to INFO
+    g = compile_filter("DP<=3")
+    assert g(_reci(5, "A", ["T"], info="DP=3"))
+    # string INFO
+    s = compile_filter('INFO/SVTYPE="DEL"')
+    assert s(_reci(5, "A", ["T"], info="SVTYPE=DEL"))
+    assert not s(_reci(5, "A", ["T"], info="SVTYPE=INS"))
+    # flag atoms: bare and compared
+    b = compile_filter("DB")
+    assert b(_reci(5, "A", ["T"], info="DP=1;DB"))
+    assert not b(_reci(5, "A", ["T"], info="DP=1"))
+    eq = compile_filter("DB=1")
+    assert eq(_reci(5, "A", ["T"], info="DB"))
+    assert not eq(_reci(5, "A", ["T"], info="."))
+
+
+def test_filter_info_vector_any_element():
+    f = compile_filter("AF>0.4")
+    assert f(_reci(5, "A", ["T", "G"], info="AF=0.1,0.5"))
+    assert not f(_reci(5, "A", ["T", "G"], info="AF=0.1,0.2"))
+
+
+def test_filter_gt_classes():
+    het = compile_filter('GT="het"')
+    hom = compile_filter('GT="hom"')
+    mis = compile_filter('GT="mis"')
+    lit = compile_filter('FMT/GT="0|1"')
+    r = _reci(5, "A", ["T"], gts=((0, 1), (0, 0)))
+    assert het(r) and not mis(r) and hom(r)  # hom: sample 2 is 0/0
+    assert lit(r)
+    r2 = _reci(5, "A", ["T"], gts=((-1, -1),))
+    assert mis(r2) and not het(r2)
+    alt = compile_filter('GT="alt"')
+    assert alt(r) and not alt(_reci(5, "A", ["T"], gts=((0, 0),)))
+
+
+def test_filter_combined_info_site():
+    f = compile_filter('TYPE="snp" && INFO/DP>=10 && GT="het"')
+    assert f(_reci(5, "A", ["T"], info="DP=10", gts=((0, 1),)))
+    assert not f(_reci(5, "A", ["T"], info="DP=9", gts=((0, 1),)))
+    assert not f(_reci(5, "A", ["T"], info="DP=10", gts=((1, 1),)))

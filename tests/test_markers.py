@@ -4,6 +4,7 @@ The bit-packing cases mirror the reference's GoogleTest suite
 (tests/marker_test.cpp:5-81), including the overflow-truncation behavior.
 """
 
+import os
 import io
 
 import numpy as np
@@ -324,3 +325,29 @@ def test_batch_mps_writer_multi_sequence_global_positions_fuzz():
             return buf.getvalue()
 
         assert run(MarkerPositionsWriter) == run(BatchMarkerPositionsWriter)
+
+
+def test_rle_window_serialize_load_roundtrip(tmp_path):
+    """Round-trip of the BUILT structure (rle_window_array.hpp:174-198):
+    load must answer identically without re-reading .mps bytes."""
+    data = _mps_bytes(
+        np.array([2, 10, 30], np.uint64),
+        np.array([4, 12, 31], np.uint64),
+        [np.array([100], np.uint64),
+         np.array([200, 300], np.uint64),
+         np.zeros(0, np.uint64)],
+    )
+    arr = RleWindowArray(data)
+    path = str(tmp_path / "x.rlwa")
+    nbytes = arr.serialize(path)
+    assert nbytes == os.path.getsize(path)
+    back = RleWindowArray.load(path)
+    assert np.array_equal(back.starts, arr.starts)
+    assert np.array_equal(back.ends, arr.ends)
+    assert len(back.markers) == len(arr.markers)
+    for a, b in zip(arr.markers, back.markers):
+        assert np.array_equal(np.asarray(a, np.uint64), b)
+    q = np.array([0, 2, 4, 5, 11, 30, 99])
+    assert np.array_equal(back.run_index(q), arr.run_index(q))
+    assert back.at(11).tolist() == [200, 300]
+    assert back.at_range(0, 40).tolist() == [100, 200, 300]
