@@ -62,10 +62,13 @@ def assemble_core(
     word_id = jnp.concatenate(
         (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
-    # initial doubling symbols: EndOfDict->0, i-th EOW->1+i, char c->dwords+1+c
+    # initial doubling symbols: i-th EOW->1+i, char c->dwords+1+c; every
+    # EndOfDict (terminator + bucket pads) gets a DISTINCT ascending
+    # negative so the doubling loop is bounded by the real suffixes' max
+    # LCP instead of the pad-run length (see suffix.dict_suffix_sort_jax)
     sym = dict_flat.astype(it) + it(dwords + 1)
     sym = jnp.where(is_eow, it(1) + word_id, sym)
-    sym = jnp.where(dict_flat == EndOfDict, it(0), sym)
+    sym = jnp.where(dict_flat == EndOfDict, iota - it(D), sym)
     sa_all, _ = _doubling_jax(sym, impl=impl)
     # suffix length = distance to the next separator (reverse cummin)
     sep_idx = jnp.where(is_sep, iota, it(D))

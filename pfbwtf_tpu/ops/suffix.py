@@ -378,8 +378,17 @@ def dict_suffix_sort_jax(dict_flat):
         (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
     dwords = jnp.sum(is_eow.astype(it))  # reduction, not a scan — cheap
+    iota = jnp.arange(D, dtype=it)
     sym = dict_flat.astype(it) + (dwords + it(1))
     sym = jnp.where(is_eow, it(1) + word_id, sym)
-    sym = jnp.where(dict_flat == EndOfDict, it(0), sym)
+    # EndOfDict (the terminator AND every bucket-pad position): DISTINCT
+    # ascending negatives.  With one shared 0 symbol the doubling loop
+    # only terminates once k exceeds the pad-run length (~log2(n) rounds
+    # regardless of content); distinct pad symbols bound the loop by the
+    # real suffixes' max LCP (~log2(maxlen)).  Relative pad order is
+    # irrelevant: separator suffixes are dropped before emission, and
+    # real suffixes are distinguished at or before their word's unique
+    # separator, never by post-terminator content.
+    sym = jnp.where(dict_flat == EndOfDict, iota - it(D), sym)
     sa, rank = _doubling_jax(sym, impl=sort_impl())
     return sa, rank, word_id.astype(jnp.int64), dwords.astype(jnp.int64)

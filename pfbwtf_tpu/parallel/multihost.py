@@ -106,6 +106,145 @@ def multihost_parse(fasta: str, output: str, params, dtype=None,
     return merged
 
 
+def global_mesh(axis: str = "dp"):
+    """One mesh over every device of every process."""
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def multihost_rank_rows(cols_local: np.ndarray, mesh, axis: str = "dp"):
+    """Cross-PROCESS collective phrase rank: each process contributes its
+    local chunk rows; the union/rank runs as parallel/dict_union.py's
+    sample-sort collectives over the GLOBAL mesh (the pod-scale merge of
+    SURVEY §5.8 — no filesystem fold).  Returns (global_idx, rank) pairs
+    covering every process's rows, replicated to all processes, plus this
+    process's global row-id offset."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .dict_union import (
+        _count_program,
+        _rank_program,
+        _round_up,
+        _U64MAX,
+    )
+
+    pid = jax.process_index()
+    my_devs = [d for d in mesh.devices.flat if d.process_index == pid]
+    n_local_dev = len(my_devs)
+    n_dev = mesh.devices.size
+    N_local, ncols_local = cols_local.shape
+
+    # agree on row width / per-device capacity / global id offsets
+    sizes = multihost_utils.process_allgather(
+        np.array([N_local, ncols_local], dtype=np.int64)
+    ).reshape(-1, 2)
+    ncols = int(sizes[:, 1].max(initial=1))
+    cap = _round_up(
+        max(1, -(-int(sizes[:, 0].max(initial=1)) // n_local_dev)), 256
+    )
+    offset = int(sizes[:pid, 0].sum())
+
+    local_blk = np.full((n_local_dev, cap, ncols), _U64MAX, np.uint64)
+    local_idx = np.full((n_local_dev, cap), -1, np.int64)
+    local_blk.reshape(-1, ncols)[:N_local, :ncols_local] = cols_local
+    local_idx.reshape(-1)[:N_local] = offset + np.arange(
+        N_local, dtype=np.int64
+    )
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    g_cols = jax.make_array_from_process_local_data(sh3, local_blk)
+    g_idx = jax.make_array_from_process_local_data(sh2, local_idx)
+
+    counts = _count_program(mesh, axis, n_dev, cap, ncols)(g_cols, g_idx)
+    rep = NamedSharding(mesh, P())
+    pair_max = int(
+        np.asarray(jax.jit(jnp.max, out_shardings=rep)(counts))
+    )
+    pair_cap = max(64, _round_up(pair_max, 64))
+    out_idx, out_rank = _rank_program(
+        mesh, axis, n_dev, cap, pair_cap, ncols
+    )(g_cols, g_idx)
+    # replicate the (idx, rank) pairs so every process can pick its rows
+    gather = jax.jit(lambda a, b: (a, b), out_shardings=(rep, rep))
+    all_idx, all_rank = gather(out_idx, out_rank)
+    return (
+        np.asarray(all_idx).reshape(-1),
+        np.asarray(all_rank).reshape(-1),
+        offset,
+    )
+
+
+def multihost_union_parse(fasta: str, output: str, params, dtype=None):
+    """SPMD parse whose dictionary union/rank is a cross-process
+    COLLECTIVE (multihost_rank_rows) rather than a process-0 fold: the
+    cut scan is recomputed per process (it runs at GB/s and the input is
+    already local), phrase occurrences are sliced evenly across
+    processes, and the heavyweight stage — the distributed string sort —
+    spans every device of every host.  Process 0 writes the standard
+    checkpoint (+ parse-BWT)."""
+    import jax
+
+    from ..io import formats
+    from ..io.fasta import read_fasta_bytes
+    from ..ops.parse import (
+        ParseResult,
+        _tprime,
+        build_stream,
+        parse_stream_np,
+    )
+    from ..pipeline import save_parse_bwt, save_parser
+    from .dict_union import phrase_chunk_rows
+
+    dtype = dtype if dtype is not None else formats.U64
+    pid, nprocs = jax.process_index(), jax.process_count()
+    records = read_fasta_bytes(fasta)
+    C, doc_names, doc_starts = build_stream(records, params)
+    starts, ends = parse_stream_np(C, params)
+    T = _tprime(C, params.w)
+    nph = starts.shape[0]
+    lo, hi = _my_record_range(nph, pid, nprocs)
+    cols = phrase_chunk_rows(T, starts[lo:hi], ends[lo:hi])
+
+    mesh = global_mesh()
+    all_idx, all_rank, _ = multihost_rank_rows(cols, mesh)
+    if pid != 0:
+        return None
+    keep = all_idx >= 0
+    ranks = np.zeros(nph, dtype=np.int64)
+    ranks[all_idx[keep]] = all_rank[keep]
+    if nph and ranks.min() < 1:
+        from ..utils.errors import die
+
+        die("multihost union: unassigned occurrence (collective bug)")
+    D = int(ranks.max(initial=0))
+    occs = np.bincount(ranks, minlength=D + 1)[1:].astype(np.uint64)
+    _, first = np.unique(ranks, return_index=True)
+    lens = (ends - starts + 1).astype(np.int64)
+    res = ParseResult(
+        params=params,
+        text=T,
+        dict_starts=starts[first].astype(np.int64),
+        dict_lens=lens[first],
+        occs=occs,
+        parse_ranks=ranks.astype(np.uint32),
+        last=T[ends - params.w],
+        sai=ends.astype(np.uint64),
+        doc_names=list(doc_names or []),
+        doc_starts=list(doc_starts or []),
+        pos=C.shape[0] + params.w,
+        nseqs=len(records),
+    )
+    save_parser(res, output, dtype)
+    save_parse_bwt(res, output, dtype, sa=params.get_sai)
+    return res
+
+
 def main(argv=None):
     from ..ops.parse import ParserParams
 

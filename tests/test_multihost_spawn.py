@@ -33,6 +33,23 @@ multihost_parse(os.environ["PFBWT_FA"], os.environ["PFBWT_OUT"], params)
 print(f"worker {pid} done", file=sys.stderr)
 """
 
+_WORKER_UNION = r"""
+import os, sys
+sys.path.insert(0, os.environ["PFBWT_REPO"])
+import jax
+from pfbwtf_tpu.ops.parse import ParserParams
+from pfbwtf_tpu.parallel.multihost import (
+    init_distributed, multihost_union_parse)
+
+pid, nprocs = init_distributed()
+assert nprocs == 2, nprocs
+assert len(jax.devices()) == 4, jax.devices()  # 2 procs x 2 CPU devices
+params = ParserParams(w=10, p=10, get_sai=True)
+multihost_union_parse(os.environ["PFBWT_FA"], os.environ["PFBWT_OUT"],
+                      params)
+print(f"union worker {pid} done", file=sys.stderr)
+"""
+
 
 def _free_port():
     s = socket.socket()
@@ -42,7 +59,7 @@ def _free_port():
     return port
 
 
-def _spawn_workers(fa, out, port):
+def _spawn_workers(fa, out, port, worker=_WORKER, extra_env=None):
     env_base = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
@@ -52,13 +69,14 @@ def _spawn_workers(fa, out, port):
         "PFBWT_REPO": os.path.dirname(os.path.dirname(__file__)),
         "PFBWT_FA": str(fa),
         "PFBWT_OUT": out,
+        **(extra_env or {}),
     }
     procs = []
     for pid in range(2):
         env = {**env_base, "JAX_PROCESS_ID": str(pid)}
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", _WORKER], env=env,
+                [sys.executable, "-c", worker], env=env,
                 stderr=subprocess.PIPE,
             )
         )
@@ -100,6 +118,44 @@ def test_two_process_multihost_parse(tmp_path):
     ref = str(tmp_path / "direct")
     save_parser(direct, ref)
     for ext in (".dict", ".occ", ".parse", ".n"):
+        assert (
+            open(out + ext, "rb").read() == open(ref + ext, "rb").read()
+        ), ext
+
+
+def test_two_process_collective_dict_union(tmp_path):
+    """The dictionary union/rank runs as dict_union.py collectives over
+    the GLOBAL 2-process x 2-device mesh (not a proc-0 filesystem fold);
+    checkpoint bytes must equal the direct single-process parse
+    (merge_pfp role, src/merge_pfp.cpp:97-152)."""
+    rng = np.random.default_rng(23)
+    seq = "".join(rng.choice(list("ACGT"), size=8000))
+    fa = tmp_path / "in.fa"
+    fa.write_text(f">r1\n{seq[:2500]}\n>r2\n{seq[2500:6000]}\n>r3\n{seq[6000:]}\n")
+    out = str(tmp_path / "mu")
+    extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    for attempt in range(3):
+        ok, errs = _spawn_workers(
+            fa, out, _free_port(), worker=_WORKER_UNION, extra_env=extra
+        )
+        if ok:
+            break
+        retriable = "address already in use" in errs.lower() or (
+            "failed to connect" in errs.lower()
+        )
+        assert retriable, errs
+    else:
+        pytest.skip(f"coordinator port unavailable after 3 tries: {errs}")
+
+    from pfbwtf_tpu.ops.parse import ParserParams, parse_fasta
+    from pfbwtf_tpu.pipeline import save_parse_bwt, save_parser
+
+    direct = parse_fasta(str(fa), ParserParams(w=10, p=10, get_sai=True))
+    ref = str(tmp_path / "direct")
+    save_parser(direct, ref)
+    save_parse_bwt(direct, ref)
+    for ext in (".dict", ".occ", ".parse", ".n", ".bwlast", ".ilist",
+                ".bwsai"):
         assert (
             open(out + ext, "rb").read() == open(ref + ext, "rb").read()
         ), ext
