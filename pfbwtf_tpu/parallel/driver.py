@@ -14,6 +14,7 @@ test (sharded == single-shot, any shard count) is the multi-host
 correctness harness.
 """
 
+import multiprocessing as mp
 import os
 from concurrent.futures import ProcessPoolExecutor
 from typing import List, Optional
@@ -96,7 +97,10 @@ def pod_parse(
         for i, path in enumerate(shard_paths)
     ]
     if workers and workers > 1:
-        with ProcessPoolExecutor(max_workers=workers) as ex:
+        # spawn, never fork: the parent holds JAX's thread pools and a
+        # forked child can deadlock in them (multi-threaded-fork class)
+        ctx = mp.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
             prefixes = list(ex.map(_parse_one, jobs))
     else:
         prefixes = [_parse_one(j) for j in jobs]
