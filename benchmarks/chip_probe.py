@@ -150,7 +150,9 @@ def main():
         dwords = jnp.sum(is_eow.astype(it))
         sym = dict_flat.astype(it) + (dwords + it(1))
         sym = jnp.where(is_eow, it(1) + word_id, sym)
-        return jnp.where(dict_flat == EndOfDict, it(0), sym)
+        # distinct pad symbols — the scheme the pipeline runs (bounds the
+        # doubling rounds by real max LCP, not the pad-run length)
+        return jnp.where(dict_flat == EndOfDict, iota - it(Dn), sym)
 
     if "j3" in pieces:
         dbl_j = jax.jit(

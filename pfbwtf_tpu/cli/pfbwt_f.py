@@ -173,7 +173,13 @@ def main(argv=None):
 
 
 def _run_fused(args, output: str, dtype) -> int:
-    """Whole-pipeline device run (ops/fused.py): .bwt/.sa[/.ssa/.esa] out."""
+    """Whole-pipeline device run (ops/fused.py): .bwt/.sa[/.ssa/.esa] out.
+
+    With -m/--mmap the STREAMED variant runs instead (ops/fused_stream.py):
+    the emission assembly is dispatched in group-aligned chunks and the
+    outputs leave HBM chunk by chunk — inputs past the monolithic
+    program's HBM ceiling (the device analogue of the reference's
+    out-of-core -m mode, file_wrappers.hpp:36-124)."""
     from ..io.fasta import read_fasta_bytes
     from ..ops.fused import pfbwt_fused_records
     from ..utils.limits import check_text_width
@@ -183,6 +189,42 @@ def _run_fused(args, output: str, dtype) -> int:
         w=args.w, p=args.p, non_acgt_to_a=args.non_acgt_to_a,
         verbose=args.verbose,
     )
+    if args.mmap:
+        from ..ops.fused_stream import pfbwt_fused_stream
+        from ..ops.parse import build_stream
+
+        C, _, _ = build_stream(read_fasta_bytes(args.fasta), params)
+        bwt_fp = (
+            sys.stdout.buffer if args.stdout_ext == "bwt"
+            else open(output + ".bwt", "wb")
+        )
+        sa_fp = None
+        if args.sa:
+            sa_fp = (
+                sys.stdout.buffer if args.stdout_ext == "sa"
+                else open(output + ".sa", "wb")
+            )
+        with task_timer("fused device pipeline, streamed (parse+pfbwt)"):
+            out = pfbwt_fused_stream(
+                C, args.w, args.p, bwt_fp=bwt_fp, sa_fp=sa_fp,
+                sa_dtype=dtype, want_rssa=args.rssa,
+            )
+        nruns, total = out[0], out[1]
+        if args.rssa:
+            ssa, esa = out[3], out[4]
+            with open(output + ".ssa", "wb") as f:
+                f.write(ssa.astype(dtype).tobytes())
+            with open(output + ".esa", "wb") as f:
+                f.write(esa.astype(dtype).tobytes())
+        for fp in (bwt_fp, sa_fp):
+            if fp is not None and fp is not sys.stdout.buffer:
+                fp.close()
+        n = total - 1
+        check_text_width(n, dtype)
+        print(f"n: {n}", file=sys.stderr)
+        print(f"r: {nruns}", file=sys.stderr)
+        print(f"n/r: {n / nruns:.3f}", file=sys.stderr)
+        return 0
     with task_timer("fused device pipeline (parse+pfbwt)"):
         res, _ = pfbwt_fused_records(
             read_fasta_bytes(args.fasta), params,

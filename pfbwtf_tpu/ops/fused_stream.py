@@ -1,0 +1,419 @@
+"""Streamed fused pipeline: chars -> .bwt/.sa at inputs PAST the HBM
+ceiling of the monolithic J3.
+
+The monolithic assemble program (ops/fused.py J3 -> bwt_jax.assemble_core)
+holds ~10 arrays of length total_b in HBM, capping single-chip input at
+~128-192 MB.  This module ports the host out-of-core decomposition
+(ops/bwt_mmap.py) onto the device: emissions are generated in dict-suffix
+order, along which the suffix-equality group id is NONDECREASING, so the
+global (group, ilist-pos) emission sort splits into independent sorts of
+group-aligned chunks (reference role: the -m out-of-core mode,
+file_wrappers.hpp:36-124 + the final loop of src/pfbwt-f.cpp:209-349).
+
+Three device programs:
+
+  J2  (shared with ops/fused.py)  parse + dictionary rank; HBM-resident.
+  J3a dict bytes, generalized dict suffix sort, suffix-equality groups,
+      parse-BWT, per-suffix emission prefix (exclusive, int64 via the
+      limb-decomposed u64 cumsum), and the GROUP-ALIGNED CHUNK TABLE —
+      for a chunk grid of emission targets c*chunk_target, the first
+      group-start suffix whose emission prefix reaches each target
+      (one small searchsorted over compacted group heads).  Only
+      dict-scale (nsuf_b / dict_b / nph_b) arrays live here; nothing of
+      length total_b is ever materialized.
+  J3e one emission chunk: fan the chunk's suffixes out to their
+      occurrences (scatter-at-first-slot + cummax, as assemble_core),
+      sort by (gid - gid0, ilist-pos) in one packed int64 key — exact,
+      because chunks never split a group — and produce the chunk's BWT
+      bytes + SA values plus a u64 checksum.  One compiled program,
+      reused for every chunk of every run at the same bucket.
+
+Host syncs: J2 sizing (3 scalars), J3a chunk table (two max_chunks-sized
+vectors + max chunk size), then one checksum (bench) or the chunk output
+fetches (file-writing mode).  Between J3e dispatches everything stays in
+HBM.
+"""
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..constants import EndOfDict, EndOfWord
+from ..utils.errors import die
+
+_I64MAX = np.int64(np.iinfo(np.int64).max)
+
+
+def _bucket(n: int, floor: int = 1 << 12) -> int:
+    if n <= floor:
+        return floor
+    step = max(floor, 1 << (max(int(np.floor(np.log2(n))) - 3, 0)))
+    return -(-n // step) * step
+
+
+# --------------------------------------------------------------------------
+# J3a: dict-scale state + chunk table
+# --------------------------------------------------------------------------
+
+
+def _dict_state_core(
+    Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+    nphrases, D, dict_total, nsuf_true, chunk_target,
+    w: int, dict_b: int, nsuf_b: int, max_chunks: int, impl: str = "lax",
+):
+    """Everything assemble_core computes BEFORE the total_b fan-out, plus
+    the group-aligned chunk table.  Returns HBM-resident dict-scale arrays
+    and one small host-fetchable table."""
+    import jax
+    import jax.numpy as jnp
+
+    from .parse_bwt import parse_bwt_core
+    from .suffix import (
+        _doubling_jax,
+        _HB1,
+        _HB2,
+        cumsum_u64_jax,
+        segmented_suffix_hashes_jax,
+    )
+
+    nph_b = parse_ranks.shape[0]
+    tb = Tp.shape[0]
+    it = jnp.int32 if max(dict_b, nph_b, nsuf_b) < 2**31 - 2 else jnp.int64
+    r = jnp.arange(nph_b, dtype=it)
+
+    # ---- dict byte array (same construction as fused._final_core) ----
+    contrib = jnp.where(r < it(D), dict_len.astype(it) + 1, it(0))
+    bounds = jnp.cumsum(contrib)
+    pidx = jnp.arange(dict_b, dtype=it)
+    mark = (
+        jnp.zeros(dict_b, it)
+        .at[jnp.where(r < it(D), bounds - contrib, it(dict_b))]
+        .set(r + 1, unique_indices=True, mode="drop")
+    )
+    word = jnp.clip(jax.lax.cummax(mark) - 1, 0, nph_b - 1)
+    wstart = bounds[word] - contrib[word]
+    within = pidx - wstart
+    ch = jnp.where(
+        within < dict_len[word],
+        Tp[jnp.clip(dict_start[word] + within, 0, tb - 1)],
+        jnp.uint8(EndOfWord),
+    )
+    dict_flat = jnp.where(pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))
+
+    # ---- generalized dict suffix order + equality groups ----
+    is_eow = dict_flat == EndOfWord
+    is_sep = is_eow | (dict_flat == EndOfDict)
+    word_id = jnp.concatenate(
+        (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
+    )
+    dwords = jnp.sum(is_eow.astype(it))
+    sym = dict_flat.astype(it) + it(1) + dwords
+    sym = jnp.where(is_eow, it(1) + word_id, sym)
+    sym = jnp.where(dict_flat == EndOfDict, pidx - it(dict_b), sym)
+    sa_all, _ = _doubling_jax(sym, impl=impl)
+    sep_idx = jnp.where(is_sep, pidx, it(dict_b))
+    next_sep = jax.lax.cummin(sep_idx, reverse=True)
+    suf_len = next_sep - pidx
+    h1 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB1)
+    h2 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB2)
+    kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
+    sa_kept = sa_all[kept_idx].astype(it)
+    suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
+    ls = suf_len[sa_kept]
+    eq = (
+        (ls[1:] == ls[:-1])
+        & (h1[sa_kept][1:] == h1[sa_kept][:-1])
+        & (h2[sa_kept][1:] == h2[sa_kept][:-1])
+        & suf_valid[1:]
+    )
+    gid = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum((~eq).astype(it))))
+    u = jnp.clip(word_id[sa_kept], 0, jnp.maximum(dwords - 1, 0))
+
+    # ---- parse-BWT (nph-scale) ----
+    bwlast, ilist, bwsai, _ = parse_bwt_core(
+        parse_ranks.astype(jnp.int64), last, sai, nphrases, impl=impl
+    )
+    occs_n = occs.astype(it)
+    seg_start = jnp.concatenate(
+        (jnp.ones(1, it), it(1) + jnp.cumsum(occs_n)[:-1])
+    )
+
+    # ---- emission prefix (exclusive) per kept suffix, int64-exact ----
+    counts = jnp.where(suf_valid, occs_n[u], it(0))
+    incl = cumsum_u64_jax(counts.astype(jnp.uint64)).astype(jnp.int64)
+    emis_prefix = jnp.concatenate((jnp.zeros(1, jnp.int64), incl[:-1]))
+    total = incl[-1]
+
+    # ---- group-aligned chunk table ----
+    # group-start suffixes in order; pads each open a group with 0 count
+    is_head = jnp.concatenate(
+        (jnp.ones(1, bool), gid[1:] != gid[:-1])
+    ) & suf_valid
+    sidx = jnp.arange(nsuf_b, dtype=it)
+    gs_idx = jnp.nonzero(is_head, size=nsuf_b, fill_value=nsuf_b)[0]
+    gs_pref = jnp.where(
+        gs_idx < nsuf_b, emis_prefix[jnp.clip(gs_idx, 0, nsuf_b - 1)],
+        _I64MAX,
+    )
+    c = jnp.arange(max_chunks + 1, dtype=jnp.int64)
+    targets = c * chunk_target
+    # first group head whose prefix >= target; past-the-end -> nsuf slot
+    pick = jnp.searchsorted(gs_pref, jnp.minimum(targets, total), side="left")
+    s_starts = jnp.where(
+        targets >= total, it(nsuf_true),
+        gs_idx[jnp.clip(pick, 0, nsuf_b - 1)].astype(it),
+    )
+    bases = jnp.where(
+        targets >= total, total,
+        emis_prefix[jnp.clip(s_starts, 0, nsuf_b - 1)],
+    )
+    max_m = jnp.max(bases[1:] - bases[:-1])
+    table = jnp.concatenate(
+        (
+            s_starts.astype(jnp.int64),
+            bases,
+            jnp.stack((max_m, total)),
+        )
+    )  # ONE small fetch sizes every chunk
+    # word-start flags the chunk program needs for the BWT char rule
+    prev_sep = jnp.concatenate((jnp.ones(1, bool), dict_flat[:-1] <= 1))
+    return (
+        dict_flat, sa_kept, gid, u, ls, emis_prefix,
+        seg_start, bwlast, ilist, bwsai, prev_sep, table,
+    )
+
+
+_state_jits = {}
+
+
+# --------------------------------------------------------------------------
+# J3e: one emission chunk
+# --------------------------------------------------------------------------
+
+
+def _chunk_core(
+    dict_flat, sa_kept, gid, u, ls, emis_prefix,
+    seg_start, bwlast, ilist, bwsai, prev_sep,
+    s0, s1, base, m_true, n_text,
+    chunk_b: int, impl: str = "lax",
+):
+    """Emit slots [base, base+m_true) of the final BWT/SA: the emissions of
+    kept suffixes [s0, s1), which by construction cover whole equality
+    groups.  Exact: the global key (gid, j) restricted to whole groups is
+    (gid - gid[s0], j), sorted per chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    nsuf_b = sa_kept.shape[0]
+    m_ilist = ilist.shape[0]
+    it = sa_kept.dtype.type  # np scalar ctor (int32/int64)
+    l = jnp.arange(chunk_b, dtype=it)
+
+    # local suffix window: local j covers suffix s0+j while s0+j < s1
+    sj = jnp.clip(s0.astype(it) + l, 0, nsuf_b - 1)
+    win_valid = (s0.astype(it) + l) < s1.astype(it)
+    first_local = (emis_prefix[sj] - base).astype(it)
+    # equal first_local values collide in this scatter (zero-count
+    # suffixes share their slot with the next emitter, which — prefix
+    # being strictly increased only by emitters — is always the LAST of
+    # the equal-prefix run): .max picks it deterministically.
+    mark = (
+        jnp.zeros(chunk_b, it)
+        .at[jnp.where(win_valid & (first_local < chunk_b),
+                      first_local, it(chunk_b))]
+        .max(l + 1, mode="drop")
+    )
+    E_local = jnp.clip(jax.lax.cummax(mark) - 1, 0, chunk_b - 1)
+    s = jnp.clip(s0.astype(it) + E_local, 0, nsuf_b - 1)
+    e_valid = l < m_true.astype(it)
+    within = l - first_local[E_local]
+    slot = jnp.clip(seg_start[u[s]] + within, 0, m_ilist - 1)
+    E_j = ilist[slot].astype(jnp.int64)
+    key = (gid[s] - gid[jnp.clip(s0.astype(it), 0, nsuf_b - 1)]).astype(
+        jnp.int64
+    ) * jnp.int64(m_ilist + 1) + E_j
+    key = jnp.where(e_valid, key, _I64MAX)
+    order = jnp.argsort(key)
+    s_ord = s[order]
+    j_ord = E_j[order]
+    pos_ord = sa_kept[s_ord]
+    whole = prev_sep[pos_ord]
+    bwtc = jnp.where(
+        whole,
+        bwlast[jnp.clip(j_ord, 0, m_ilist - 1)],
+        jnp.where(
+            pos_ord == 1,
+            jnp.uint8(0),
+            dict_flat[jnp.maximum(pos_ord - 1, 0)],
+        ),
+    ).astype(jnp.uint8)
+    sa_vals = bwsai[jnp.clip(j_ord, 0, m_ilist - 1)] - ls[s_ord].astype(
+        jnp.uint64
+    )
+    # global slot 0 is the terminator's rotation: SA value = n
+    gpos = base + l
+    sa_vals = jnp.where(gpos == 0, n_text.astype(jnp.uint64), sa_vals)
+    ev = e_valid
+    checksum = (
+        jnp.sum(jnp.where(ev, bwtc.astype(jnp.uint64), 0))
+        + jnp.sum(jnp.where(ev, sa_vals, jnp.uint64(0)))
+    )
+    return bwtc, sa_vals, checksum
+
+
+_chunk_jits = {}
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+
+def pfbwt_fused_stream(
+    C: np.ndarray,
+    w: int,
+    p: int,
+    bwt_fp=None,
+    sa_fp=None,
+    sa_dtype=np.dtype("<u8"),
+    chunk_target: int = 48 << 20,
+    max_chunks: int = 256,
+    fetch: Optional[bool] = None,
+    want_rssa: bool = False,
+):
+    """Whole-pipeline streamed device run.
+
+    With file objects: writes .bwt/.sa chunk by chunk (bounded HBM AND
+    bounded host RAM) and returns (nruns, total, checksum[, ssa, esa]).
+    Without: bench mode — only per-chunk checksums leave HBM; returns
+    (None, total, checksum).  ``want_rssa`` additionally collects the
+    .ssa/.esa run-length samples across chunk boundaries (the streaming
+    bookkeeping of ops/bwt_mmap._RunState, pfbwt-f.cpp:304-319 semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import fused
+    from .bwt_mmap import _RunState
+    from .suffix import sort_impl
+
+    if fetch is None:
+        fetch = bwt_fp is not None or sa_fp is not None or want_rssa
+
+    C_len = int(C.shape[0])
+    n = C_len
+    n_b = fused._bucket(max(C_len, 1), 1 << 16)
+    chars_p = np.full(n_b, ord("A"), dtype=np.uint8)
+    chars_p[:C_len] = C
+    dev_chars = jax.device_put(chars_p)
+
+    nph_b = fused._bucket(fused.speculative_nphrases(C_len, p))
+
+    def run_parse(nph_b):
+        key2 = (nph_b, w, p)
+        if key2 not in fused._parse_jits:
+            fused._parse_jits[key2] = jax.jit(
+                partial(fused._parse_core, w=w, p=p, nph_b=nph_b)
+            )
+        state = fused._parse_jits[key2](dev_chars, jnp.int64(C_len))
+        meta = np.asarray(state[-1])  # SYNC 1
+        return state, int(meta[0]), int(meta[1]), int(meta[2])
+
+    state, ncuts, D, dict_total = run_parse(nph_b)
+    if ncuts == 0:
+        die("error: only one dict word total. Re-run with a smaller p modulus")
+    if ncuts + 1 > nph_b:
+        nph_b = fused._bucket(ncuts + 1)
+        state, ncuts, D, dict_total = run_parse(nph_b)
+    nphrases = ncuts + 1
+    (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
+
+    nsuf = (dict_total - 1 - D) - D * w
+    dict_b = fused._bucket(dict_total)
+    nsuf_b = fused._bucket(nsuf)
+    impl = sort_impl()
+
+    keyA = (w, dict_b, nsuf_b, nph_b, max_chunks, impl)
+    if keyA not in _state_jits:
+        _state_jits[keyA] = jax.jit(
+            partial(
+                _dict_state_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
+                max_chunks=max_chunks, impl=impl,
+            )
+        )
+    (
+        dict_flat, sa_kept, gid, u, ls, emis_prefix,
+        seg_start, bwlast, ilist, bwsai, prev_sep, table_d,
+    ) = _state_jits[keyA](
+        Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+        jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
+        jnp.int64(nsuf), jnp.int64(chunk_target),
+    )
+    # the text and per-occurrence parse buffers are dead once J3a holds
+    # them — drop the references so HBM can reclaim (execution keeps the
+    # underlying buffers alive until the program completes)
+    del Tp, parse_ranks, occs, dict_start, dict_len, last, sai, state
+    table = np.asarray(table_d)  # SYNC 2: chunk table
+    s_starts = table[: max_chunks + 1]
+    bases = table[max_chunks + 1 : 2 * (max_chunks + 1)]
+    max_m, total = int(table[-2]), int(table[-1])
+    if total != n + 1:
+        die(f"streamed assembly sizing bug: total {total} != n+1 {n + 1}")
+    if bases[-1] != total:
+        die(
+            f"streamed assembly needs more than {max_chunks} chunks at "
+            f"chunk_target={chunk_target} (covered {bases[-1]}/{total}); "
+            "raise chunk_target or max_chunks"
+        )
+    chunk_b = fused._bucket(max(max_m, 1))
+
+    keyE = (chunk_b, nsuf_b, nph_b, dict_b, impl)
+    if keyE not in _chunk_jits:
+        _chunk_jits[keyE] = jax.jit(
+            partial(_chunk_core, chunk_b=chunk_b, impl=impl)
+        )
+    run_chunk = _chunk_jits[keyE]
+
+    checksum = np.uint64(0)
+    runs = _RunState(np.dtype(sa_dtype))
+    need_sa_vals = sa_fp is not None or want_rssa
+    pending = []
+
+    def drain(slot):
+        nonlocal checksum
+        bwt_d, sa_d, ck_d, m_c, base_c = slot
+        checksum += np.uint64(np.asarray(ck_d))
+        if not fetch:
+            return
+        bwtc = np.asarray(bwt_d)[:m_c]
+        if bwt_fp is not None:
+            bwt_fp.write(bwtc.tobytes())
+        sa_np = None
+        if need_sa_vals:
+            sa_np = np.asarray(sa_d)[:m_c]
+            if sa_fp is not None:
+                sa_fp.write(sa_np.astype(sa_dtype).tobytes())
+        runs.feed(base_c, bwtc, sa_np if want_rssa else None)
+
+    for c in range(max_chunks):
+        m_c = int(bases[c + 1] - bases[c])
+        if m_c == 0:
+            continue
+        out = run_chunk(
+            dict_flat, sa_kept, gid, u, ls, emis_prefix,
+            seg_start, bwlast, ilist, bwsai, prev_sep,
+            jnp.int64(int(s_starts[c])), jnp.int64(int(s_starts[c + 1])),
+            jnp.int64(int(bases[c])), jnp.int64(m_c), jnp.int64(n),
+        )
+        pending.append((out[0], out[1], out[2], m_c, int(bases[c])))
+        if len(pending) >= 2:  # double-buffer: overlap fetch with compute
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
+    if not fetch:
+        return None, total, int(checksum)
+    if want_rssa:
+        ssa, esa = runs.finish(total)
+        return runs.nruns, total, int(checksum), ssa, esa
+    return runs.nruns, total, int(checksum)
