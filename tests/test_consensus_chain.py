@@ -205,3 +205,56 @@ def test_filter_combined_info_site():
     assert f(_reci(5, "A", ["T"], info="DP=10", gts=((0, 1),)))
     assert not f(_reci(5, "A", ["T"], info="DP=9", gts=((0, 1),)))
     assert not f(_reci(5, "A", ["T"], info="DP=10", gts=((1, 1),)))
+
+
+def test_filter_arithmetic_and_functions():
+    """htslib expression-language extensions: arithmetic over fields and
+    vectors, reduction functions, STRLEN/ABS/ILEN
+    (consensus.cpp:288 -i/-e semantics)."""
+    f = compile_filter("QUAL/2 > 20")
+    assert f(_reci(5, "A", ["T"]))          # 50/2 = 25
+    assert not f(_reci(5, "A", ["T"], qual=30.0))
+    f = compile_filter("QUAL-45 >= 5 && QUAL*2 == 100")
+    assert f(_reci(5, "A", ["T"]))
+    # DP-5 tokenizes as [DP, -5]; must still mean subtraction
+    f = compile_filter("DP-5 > 0")
+    assert f(_reci(5, "A", ["T"], info="DP=15"))
+    assert not f(_reci(5, "A", ["T"], info="DP=4"))
+    # vector arithmetic: any-element comparison
+    f = compile_filter("INFO/AF*100 >= 50")
+    assert f(_reci(5, "A", ["T"], info="AF=0.1,0.6"))
+    assert not f(_reci(5, "A", ["T"], info="AF=0.1,0.2"))
+    # functions
+    assert compile_filter("MAX(INFO/AD) > 9")(
+        _reci(5, "A", ["T"], info="AD=3,10"))
+    assert not compile_filter("MIN(INFO/AD) > 9")(
+        _reci(5, "A", ["T"], info="AD=3,10"))
+    assert compile_filter("SUM(AD) == 13")(
+        _reci(5, "A", ["T"], info="AD=3,10"))
+    assert compile_filter("AVG(AD) == 6.5")(
+        _reci(5, "A", ["T"], info="AD=3,10"))
+    assert compile_filter("COUNT(AD) == 2")(
+        _reci(5, "A", ["T"], info="AD=3,10"))
+    assert compile_filter("ABS(ILEN) == 2")(
+        _reci(5, "ACG", ["A"], info="."))
+    assert compile_filter("STRLEN(REF) == 3")(
+        _reci(5, "ACG", ["A"]))
+    # missing tags propagate through arithmetic/functions -> no match
+    assert not compile_filter("MAX(INFO/AD) > 0")(
+        _reci(5, "A", ["T"], info="."))
+    assert not compile_filter("DP+1 > 0")(_reci(5, "A", ["T"], info="."))
+    # unary minus and N_ALT / N_SAMPLES pseudo-fields
+    assert compile_filter("-QUAL < -40")(_reci(5, "A", ["T"]))
+    assert compile_filter("N_ALT == 1 && N_SAMPLES == 1")(
+        _reci(5, "A", ["T"]))
+    # parenthesized arithmetic grouping
+    assert compile_filter("(QUAL+10)/2 == 30")(_reci(5, "A", ["T"]))
+
+
+def test_filter_arithmetic_errors():
+    from pfbwtf_tpu.utils.errors import PfbwtError
+
+    with pytest.raises(PfbwtError):
+        compile_filter('TYPE + 1 > 0')(_reci(5, "A", ["T"]))
+    with pytest.raises(PfbwtError):
+        compile_filter('STRLEN(QUAL) > 0')(_reci(5, "A", ["T"]))
