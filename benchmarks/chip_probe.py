@@ -186,6 +186,205 @@ def main():
           lambda: int(np.asarray(pb_j(
               parse_ranks, last, sai, jnp.int64(ncuts + 1)))))
 
+    # ---------------- J2 remainder pieces ----------------
+    if "j2b" in pieces:
+        from pfbwtf_tpu.constants import Dollar
+
+        def _tp_build(chars_p, C_len):
+            tb2 = n_b + W + 1
+            tidx = jnp.arange(tb2, dtype=jnp.int64)
+            return jnp.where(
+                (tidx == 0) | (tidx > C_len), jnp.uint8(Dollar),
+                chars_p[jnp.clip(tidx - 1, 0, n_b - 1)],
+            ).astype(jnp.int32).sum()
+
+        tp_j = jax.jit(_tp_build)
+        t("J2b: Tp build (where+gather)", lambda: int(np.asarray(
+            tp_j(dev_chars, jnp.int64(C_len)))))
+
+        def _compact(chars_p, C_len):
+            codes = jnp.asarray(NTOA)[chars_p]
+            _, cut = hash_scan_jax(codes, W, P)
+            sidx = jnp.arange(n_b, dtype=jnp.int64)
+            cut = cut & (sidx < C_len)
+            cuts = jnp.nonzero(cut, size=nph_b, fill_value=n_b)[0]
+            return cuts[:8].sum()
+
+        from pfbwtf_tpu.utils.tables import NTOA_TABLE as NTOA
+        cm_j = jax.jit(_compact)
+        t("J2b: scan + nonzero compaction", lambda: int(np.asarray(
+            cm_j(dev_chars, jnp.int64(C_len)))))
+
+        def _dedup_sort(h1, h2, key_l, inv):
+            order = jnp.lexsort((h2, h1, key_l, inv))
+            return order[:8].sum()
+
+        rng2 = np.random.default_rng(9)
+        h1s = jax.device_put(rng2.integers(
+            0, 1 << 63, size=nph_b).astype(np.uint64))
+        h2s = jax.device_put(rng2.integers(
+            0, 1 << 63, size=nph_b).astype(np.uint64))
+        kl = jax.device_put(rng2.integers(
+            0, 4000, size=nph_b).astype(np.int64))
+        iv = jax.device_put(np.zeros(nph_b, np.int64))
+        ds_j = jax.jit(_dedup_sort)
+        t(f"J2b: dedup lexsort (nph_b={nph_b})", lambda: int(np.asarray(
+            ds_j(h1s, h2s, kl, iv))))
+
+    # ---------------- doubling-round anatomy ----------------
+    if "dbl" in pieces:
+        # how many rounds does the dict doubling actually run, and what
+        # does ONE round cost at dict_b?
+        def _rounds(df):
+            it = jnp.int32
+            sym = _sym_of(df)
+            n = sym.shape[0]
+            idx = jnp.arange(n, dtype=it)
+
+            def densify1(order, ck):
+                cks = ck[order]
+                changed = jnp.concatenate(
+                    (jnp.zeros(1, it), (cks[1:] != cks[:-1]).astype(it)))
+                nr = jnp.cumsum(changed)
+                return (jnp.zeros(n, it).at[order].set(
+                    nr, unique_indices=True, mode="promise_in_bounds"))
+
+            k0 = sym.astype(jnp.int64)
+            rank = densify1(jnp.argsort(k0), k0)
+
+            def cond(c):
+                rank, k, cnt = c
+                return (jnp.max(rank) < n - 1) & (k < n)
+
+            def body(c):
+                rank, k, cnt = c
+                key2 = jnp.where(idx + k < n,
+                                 rank[jnp.clip(idx + k, 0, n - 1)], it(-1))
+                ck = rank.astype(jnp.int64) * jnp.int64(n + 1) + (
+                    key2.astype(jnp.int64) + 1)
+                order = jnp.argsort(ck)
+                return densify1(order, ck), k * 2, cnt + 1
+
+            _, _, cnt = jax.lax.while_loop(
+                cond, body, (rank, jnp.int64(1), jnp.int64(0)))
+            return cnt
+
+        rounds_j = jax.jit(_rounds)
+        nr = int(np.asarray(rounds_j(dict_flat)))
+        print(f"J3: dict doubling ROUNDS = {nr}", flush=True)
+        print(f"J3: max dict word len = "
+              f"{int(np.asarray(jnp.max(dict_len)))}", flush=True)
+
+        it32 = jnp.int32
+
+        def one_round(rank):
+            n = rank.shape[0]
+            idx = jnp.arange(n, dtype=it32)
+            key2 = jnp.where(idx + 64 < n,
+                             rank[jnp.clip(idx + 64, 0, n - 1)], it32(-1))
+            ck = rank.astype(jnp.int64) * jnp.int64(n + 1) + (
+                key2.astype(jnp.int64) + 1)
+            order = jnp.argsort(ck)
+            cks = ck[order]
+            changed = jnp.concatenate(
+                (jnp.zeros(1, it32), (cks[1:] != cks[:-1]).astype(it32)))
+            nr_ = jnp.cumsum(changed)
+            out = (jnp.zeros(n, it32).at[order].set(
+                nr_, unique_indices=True, mode="promise_in_bounds"))
+            return out[:8].sum()
+
+        r0 = jax.device_put(np.random.default_rng(7).permutation(
+            dict_b).astype(np.int32))
+        or_j = jax.jit(one_round)
+        t(f"one doubling round (sort+densify, n={dict_b})",
+          lambda: int(np.asarray(or_j(r0))))
+
+        sort_j = jax.jit(lambda r: jnp.argsort(
+            r.astype(jnp.int64) * jnp.int64(dict_b + 1))[:8].sum())
+        t(f"argsort alone (n={dict_b})",
+          lambda: int(np.asarray(sort_j(r0))))
+
+        cond_j = jax.jit(lambda r: jnp.max(r))
+        t(f"cond reduction alone (n={dict_b})",
+          lambda: int(np.asarray(cond_j(r0))))
+
+    # ---------------- scatter vs sort-inverse at dict_b ----------------
+    if "scat" in pieces:
+        it32 = jnp.int32
+        rng3 = np.random.default_rng(11)
+        perm = jax.device_put(rng3.permutation(dict_b).astype(np.int32))
+        vals = jax.device_put(rng3.integers(
+            0, dict_b, size=dict_b).astype(np.int32))
+
+        sc_j = jax.jit(lambda o, v: jnp.zeros(dict_b, it32).at[o].set(
+            v, unique_indices=True, mode="promise_in_bounds")[:8].sum())
+        t(f"scatter set (n={dict_b})",
+          lambda: int(np.asarray(sc_j(perm, vals))))
+
+        def _sort_inv(o, v):
+            import jax.lax as lax
+            _, inv = lax.sort((o, v), num_keys=1)
+            return inv[:8].sum()
+
+        si_j = jax.jit(_sort_inv)
+        t(f"sort-inverse (n={dict_b})",
+          lambda: int(np.asarray(si_j(perm, vals))))
+
+        ga_j = jax.jit(lambda o, v: v.astype(jnp.int64)[o][:8].sum())
+        t(f"gather i64 (n={dict_b})",
+          lambda: int(np.asarray(ga_j(perm, vals))))
+
+        g32_j = jax.jit(lambda o, v: v[o][:8].sum())
+        t(f"gather i32 (n={dict_b})",
+          lambda: int(np.asarray(g32_j(perm, vals))))
+
+        def _kv_round(r):
+            import jax.lax as lax
+            n = r.shape[0]
+            key2 = jnp.roll(r, -64).at[-64:].set(0)
+            B = jnp.int64(int(np.ceil(np.log2(dict_b + 2))))
+            ck = (r.astype(jnp.int64) << B) | (key2.astype(jnp.int64) + 1)
+            iota64 = jnp.arange(n, dtype=it32)
+            cks, order = lax.sort((ck, iota64), num_keys=1)
+            changed = jnp.concatenate(
+                (jnp.zeros(1, it32), (cks[1:] != cks[:-1]).astype(it32)))
+            nr_ = jnp.cumsum(changed)
+            _, rank = lax.sort((order, nr_), num_keys=1)
+            return rank[:8].sum()
+
+        kv_j = jax.jit(_kv_round)
+        r0b = jax.device_put(np.random.default_rng(7).permutation(
+            dict_b).astype(np.int32))
+        t(f"one round, kv-sort formulation (n={dict_b})",
+          lambda: int(np.asarray(kv_j(r0b))))
+
+    # ---------------- emission machinery (assemble_core shape) ---------
+    if "em2" in pieces:
+        it32 = jnp.int32
+        total_bx = total_b
+        nsuf_bx = nsuf_b
+        rng4 = np.random.default_rng(13)
+        cnts = np.zeros(nsuf_bx, np.int32)
+        kk = total_bx // max(nsuf, 1)
+        cnts[:nsuf] = kk
+        cnts[0] += total_bx - int(cnts.sum())
+        dcnt = jax.device_put(cnts)
+
+        def _fanout(counts):
+            first = jnp.concatenate(
+                (jnp.zeros(1, it32), jnp.cumsum(counts)[:-1]))
+            mark = (jnp.zeros(total_bx, it32)
+                    .at[jnp.where(counts > 0, first, it32(total_bx))]
+                    .set(jnp.arange(nsuf_bx, dtype=it32) + 1,
+                         unique_indices=True, mode="drop"))
+            E = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_bx - 1)
+            within = jnp.arange(total_bx, dtype=it32) - first[E]
+            return (E[:8] + within[:8]).sum()
+
+        fo_j = jax.jit(lambda c: _fanout(c))
+        t(f"emission fan-out scatter+cummax+gather (n={total_bx})",
+          lambda: int(np.asarray(fo_j(dcnt))))
+
     # ---------------- emission sort shapes ----------------
     if "emission" in pieces:
         rng = np.random.default_rng(3)

@@ -26,13 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bwt import BWTResult
-from .suffix import (
-    _doubling_jax,
-    _HB1,
-    _HB2,
-    segmented_suffix_hashes_jax,
-    sort_impl,
-)
+from .suffix import doubling_with_captures, sort_impl
 from ..constants import EndOfDict, EndOfWord
 
 
@@ -69,24 +63,33 @@ def assemble_core(
     sym = dict_flat.astype(it) + it(dwords + 1)
     sym = jnp.where(is_eow, it(1) + word_id, sym)
     sym = jnp.where(dict_flat == EndOfDict, iota - it(D), sym)
-    sa_all, _ = _doubling_jax(sym, impl=impl)
-    # suffix length = distance to the next separator (reverse cummin)
+    # suffix length = distance to the next separator (reverse cummin) —
+    # computed BEFORE the sort so the doubling loop can capture, per
+    # position, the rank blocks that decide string equality
     sep_idx = jnp.where(is_sep, iota, it(D))
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - iota
-    # suffix-equality hashes, fully in HBM (no host round-trip)
-    h1 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB1)
-    h2 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB2)
+    # doubling sort + EXACT suffix-equality captures: equal-length
+    # suffixes are string-equal iff their level-floor_pow2(len) rank
+    # blocks [p, p+t) and [p+len-t, p+len) match (sparse-table two-block
+    # equality).  Replaces the emulated-u64 polynomial hashes — exact,
+    # and costs one int32 gather per doubling round instead of 4 pow_u64
+    # + 2 cumsum_u64 passes over the dict.
+    sa_all, _, C1, C2 = doubling_with_captures(
+        sym, None, suf_len, k0=1, impl=impl
+    )
     # keep suffixes longer than w, in lexicographic order
     kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
     sa_kept = sa_all[kept_idx]
     suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
     ls = suf_len[sa_kept]
-    # equality groups via (len, h1, h2)
+    c1k = C1[sa_kept]
+    c2k = C2[sa_kept]
+    # equality groups via (len, rank-block pair)
     eq = (
         (ls[1:] == ls[:-1])
-        & (h1[sa_kept][1:] == h1[sa_kept][:-1])
-        & (h2[sa_kept][1:] == h2[sa_kept][:-1])
+        & (c1k[1:] == c1k[:-1])
+        & (c2k[1:] == c2k[:-1])
         & suf_valid[1:]
     )
     gid = jnp.concatenate(

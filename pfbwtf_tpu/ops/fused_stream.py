@@ -69,13 +69,7 @@ def _dict_state_core(
     import jax.numpy as jnp
 
     from .parse_bwt import parse_bwt_core
-    from .suffix import (
-        _doubling_jax,
-        _HB1,
-        _HB2,
-        cumsum_u64_jax,
-        segmented_suffix_hashes_jax,
-    )
+    from .suffix import cumsum_u64_jax, doubling_with_captures
 
     nph_b = parse_ranks.shape[0]
     tb = Tp.shape[0]
@@ -111,20 +105,24 @@ def _dict_state_core(
     sym = dict_flat.astype(it) + it(1) + dwords
     sym = jnp.where(is_eow, it(1) + word_id, sym)
     sym = jnp.where(dict_flat == EndOfDict, pidx - it(dict_b), sym)
-    sa_all, _ = _doubling_jax(sym, impl=impl)
     sep_idx = jnp.where(is_sep, pidx, it(dict_b))
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - pidx
-    h1 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB1)
-    h2 = segmented_suffix_hashes_jax(dict_flat, suf_len, _HB2)
+    # exact suffix-equality via rank-block captures (see
+    # bwt_jax.assemble_core) — no u64 hash machinery
+    sa_all, _, C1, C2 = doubling_with_captures(
+        sym, None, suf_len, k0=1, impl=impl
+    )
     kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
     sa_kept = sa_all[kept_idx].astype(it)
     suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
     ls = suf_len[sa_kept]
+    c1k = C1[sa_kept]
+    c2k = C2[sa_kept]
     eq = (
         (ls[1:] == ls[:-1])
-        & (h1[sa_kept][1:] == h1[sa_kept][:-1])
-        & (h2[sa_kept][1:] == h2[sa_kept][:-1])
+        & (c1k[1:] == c1k[:-1])
+        & (c2k[1:] == c2k[:-1])
         & suf_valid[1:]
     )
     gid = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum((~eq).astype(it))))

@@ -359,6 +359,148 @@ def _doubling_jax(keys, impl: str = "lax"):
     return final.astype(jnp.int64), rank.astype(jnp.int64)
 
 
+def _floor_pow2_i32(x):
+    """Largest power of two <= x, elementwise (x >= 1), via bit smearing."""
+    v = x.astype(jnp.int32)
+    v = v | (v >> 1)
+    v = v | (v >> 2)
+    v = v | (v >> 4)
+    v = v | (v >> 8)
+    v = v | (v >> 16)
+    return v - (v >> 1)
+
+
+def doubling_with_captures(
+    keys, cap_pos, cap_len, k0: int, k_stop=None, impl: str = "lax"
+):
+    """Prefix doubling that additionally captures, per query j, the rank
+    blocks needed for O(1) EXACT substring equality (the sparse-table
+    two-block trick):
+
+        t_j  = max(k0, floor_pow2(cap_len[j]))      (so t <= cap_len)
+        C1_j = R_{t_j}[cap_pos[j]]
+        C2_j = R_{t_j}[cap_pos[j] + cap_len[j] - t_j]
+
+    Two queries with equal cap_len are substring-equal over their whole
+    length IFF (C1, C2) match — the two level-t blocks cover [0, len)
+    because 2*t >= len.  This replaces the emulated-u64 polynomial-hash
+    equality (pow_u64/cumsum_u64 chains) with a handful of int32 gathers,
+    and is exact rather than hash-probabilistic.
+
+    ``keys`` are level-k0 initial keys (k0=1 for raw symbols; callers may
+    pack k0 bytes into one key to skip early rounds — every cap_len must
+    then be >= k0).  ``cap_pos=None`` captures at every key position
+    (identity), making C1 gather-free.  ``k_stop`` (dynamic scalar)
+    truncates the loop once
+    the gap reaches it (prefixes of that length decided); None runs to
+    full distinctness.  The early all-distinct exit cannot fire before
+    any query's capture level: while two equal substrings of length L
+    exist, ranks collide at every level <= floor_pow2(L).  Uncaptured
+    queries (possible only when no equal pair of that length exists)
+    keep distinct sentinel captures, so their equality tests are false.
+
+    Returns (order, rank, C1, C2).
+    """
+    n = keys.shape[0]
+    m = n if cap_pos is None else cap_pos.shape[0]
+    narrow = n < 2**31 - 2
+    it = jnp.int32 if narrow else jnp.int64
+    idx = jnp.arange(n, dtype=it)
+    use_radix = impl == "radix" and narrow
+    if k_stop is None:
+        k_stop = jnp.int64(n)
+
+    def densify1(order, ck):
+        cks = ck[order]
+        changed = jnp.concatenate(
+            (jnp.zeros(1, it), (cks[1:] != cks[:-1]).astype(it))
+        )
+        new_rank = jnp.cumsum(changed)
+        return (
+            jnp.zeros(n, it)
+            .at[order]
+            .set(new_rank, unique_indices=True, mode="promise_in_bounds")
+        )
+
+    identity = cap_pos is None  # captures at every position of `keys`
+    if identity:
+        cap_pos = idx
+        m = n
+    else:
+        cap_pos = jnp.clip(cap_pos.astype(it), 0, n - 1)
+    cap_len = cap_len.astype(it)
+    t = jnp.maximum(it(k0), _floor_pow2_i32(jnp.maximum(cap_len, 1)).astype(it))
+    p2 = jnp.clip(cap_pos + cap_len - t, 0, n - 1)
+
+    k0i = jnp.int64(k0)
+    order0 = jnp.argsort(keys.astype(jnp.int64))
+    rank = densify1(order0, keys.astype(jnp.int64))
+    # distinct sentinels (negative, unique per query) so an uncaptured
+    # query never tests equal
+    C1 = -jnp.arange(m, dtype=it) - it(1)
+    C2 = C1
+    hit0 = t == it(k0)
+    C1 = jnp.where(hit0, rank if identity else rank[cap_pos], C1)
+    C2 = jnp.where(hit0, rank[p2], C2)
+
+    def cond(carry):
+        rank, k, C1, C2 = carry
+        return (jnp.max(rank) < n - 1) & (k < k_stop)
+
+    if use_radix:
+        from .radix import key_bits, radix_argsort_pair
+
+        nb = key_bits(n)
+
+    def body(carry):
+        rank, k, C1, C2 = carry
+        key2 = jnp.where(
+            idx + k < n, rank[jnp.clip(idx + k, 0, n - 1)], it(-1)
+        )
+        if use_radix:
+            order = radix_argsort_pair(
+                rank, key2 + it(1), nbits_hi=nb, nbits_lo=nb
+            )
+            r_s, k_s = rank[order], key2[order]
+            changed = jnp.concatenate(
+                (
+                    jnp.zeros(1, it),
+                    ((r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])).astype(
+                        it
+                    ),
+                )
+            )
+            new_rank = jnp.cumsum(changed)
+            rank = (
+                jnp.zeros(n, it)
+                .at[order]
+                .set(new_rank, unique_indices=True,
+                     mode="promise_in_bounds")
+            )
+        else:
+            ckey = rank.astype(jnp.int64) * jnp.int64(n + 1) + (
+                key2.astype(jnp.int64) + 1
+            )
+            order = jnp.argsort(ckey)
+            rank = densify1(order, ckey)
+        k = k * 2
+        hit = t.astype(jnp.int64) == k
+        C1 = jnp.where(hit, rank if identity else rank[cap_pos], C1)
+        C2 = jnp.where(hit, rank[p2], C2)
+        return rank, k, C1, C2
+
+    rank, _, C1, C2 = jax.lax.while_loop(
+        cond, body, (rank, k0i, C1, C2)
+    )
+    if use_radix:
+        from .radix import radix_argsort_u32
+
+        final = radix_argsort_u32(rank, nbits=key_bits(n))
+    else:
+        final = jnp.argsort(rank)
+    return final.astype(jnp.int64), rank, C1, C2
+
+
 def suffix_array_ints_jax(seq) -> jnp.ndarray:
     """SA of an integer sequence whose last element is the unique minimum."""
     seq = jnp.asarray(seq, dtype=jnp.int64)
