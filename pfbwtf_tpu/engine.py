@@ -131,9 +131,11 @@ def _make_jits():
 
     @partial(jax.jit, static_argnames=("w", "p", "size", "scan_impl"))
     def cut_positions(c, w, p, size, scan_impl):
-        return jnp.nonzero(
-            _cut_mask_device(c, w, p, scan_impl), size=size, fill_value=-1
-        )[0]
+        from .ops.suffix import compact_indices_jax
+
+        return compact_indices_jax(
+            _cut_mask_device(c, w, p, scan_impl), size, fill=-1
+        ).astype(jnp.int64)
 
     return count_cuts, cut_positions
 

@@ -45,7 +45,9 @@ def _make_jits():
     @partial(jax.jit, static_argnames=("size",))
     def boundary_rows(sa, starts, ends, content, size):
         idx, cid, b = cid_of(sa, starts, ends, content)
-        pos = jnp.nonzero(b, size=size, fill_value=-1)[0]
+        from ..ops.suffix import compact_indices_jax
+
+        pos = compact_indices_jax(b, size, fill=-1).astype(jnp.int64)
         safe = jnp.clip(pos, 0, sa.shape[0] - 1)
         return pos, cid[safe], idx[safe]
 

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bwt import BWTResult
-from .suffix import doubling_with_captures, sort_impl
+from .suffix import (
+    compact_indices_jax,
+    doubling_with_captures,
+    packed_dict_keys,
+    sort_impl,
+)
 from ..constants import EndOfDict, EndOfWord
 
 
@@ -56,13 +61,10 @@ def assemble_core(
     word_id = jnp.concatenate(
         (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
-    # initial doubling symbols: i-th EOW->1+i, char c->dwords+1+c; every
-    # EndOfDict (terminator + bucket pads) gets a DISTINCT ascending
-    # negative so the doubling loop is bounded by the real suffixes' max
-    # LCP instead of the pad-run length (see suffix.dict_suffix_sort_jax)
-    sym = dict_flat.astype(it) + it(dwords + 1)
-    sym = jnp.where(is_eow, it(1) + word_id, sym)
-    sym = jnp.where(dict_flat == EndOfDict, iota - it(D), sym)
+    # initial doubling keys: k0 raw bytes packed per lane (distinct
+    # ascending negatives for EndOfDict terminator + pads, so the loop is
+    # bounded by the real suffixes' max LCP, not the pad-run length)
+    keys0, k0 = packed_dict_keys(dict_flat, w)
     # suffix length = distance to the next separator (reverse cummin) —
     # computed BEFORE the sort so the doubling loop can capture, per
     # position, the rank blocks that decide string equality
@@ -76,10 +78,10 @@ def assemble_core(
     # and costs one int32 gather per doubling round instead of 4 pow_u64
     # + 2 cumsum_u64 passes over the dict.
     sa_all, _, C1, C2 = doubling_with_captures(
-        sym, None, suf_len, k0=1, impl=impl
+        keys0, None, suf_len, k0=k0, impl=impl
     )
     # keep suffixes longer than w, in lexicographic order
-    kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
+    kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
     sa_kept = sa_all[kept_idx]
     suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
     ls = suf_len[sa_kept]
@@ -114,47 +116,70 @@ def assemble_core(
              mode="drop")
     )
     E_suffix = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_b - 1)
-    within = eidx - first[E_suffix]
+    # TPU gathers are row-latency-bound: fetch (first, seg_start[u], gid)
+    # as ONE 3-column row gather instead of three full-length gathers
+    S = jnp.stack((first, seg_start[u], gid), axis=1)
+    rows = S[E_suffix]
+    within = eidx - rows[:, 0]
     e_valid = eidx < it(total_true)
-    slot = jnp.clip(
-        seg_start[u][E_suffix] + within, 0, ilist.shape[0] - 1
-    )
-    E_j = ilist[slot]
-    # final order: (gid, j); invalid emissions sort last.  lax: one packed
-    # int64 key; radix: two int32 LSD phases (no emulated-u64 compares)
+    m_ilist = ilist.shape[0]
+    slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)
+    E_j = ilist.astype(it)[slot]
+    # final order: (gid, j); invalid emissions sort last.  The sort
+    # CARRIES (E_suffix, E_j) so no post-sort permutation gathers.
     if impl == "radix" and total_b < 2**31 - 2:
         from .radix import key_bits, radix_argsort_pair
 
-        hi = jnp.where(
-            e_valid, gid[E_suffix].astype(jnp.int32), jnp.int32(nsuf_b)
-        )
+        hi = jnp.where(e_valid, rows[:, 2], it(nsuf_b))
         order = radix_argsort_pair(
             hi,
-            E_j.astype(jnp.int32),
+            E_j,
             nbits_hi=key_bits(nsuf_b),
-            nbits_lo=key_bits(int(ilist.shape[0])),
-        ).astype(jnp.int64)
+            nbits_lo=key_bits(int(m_ilist)),
+        )
+        s_ord = E_suffix[order]
+        j_ord = E_j[order]
     else:
-        key = gid[E_suffix] * jnp.int64(total_b + 1) + E_j
+        KB = int(np.ceil(np.log2(m_ilist + 2)))
+        key = (rows[:, 2].astype(jnp.int64) << KB) | E_j.astype(jnp.int64)
         key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
-        order = jnp.argsort(key)
-    s_ord = E_suffix[order]
-    j_ord = E_j[order]
-    pos_ord = sa_kept[s_ord]
+        _, s_ord, j_ord = jax.lax.sort(
+            (key, E_suffix, E_j), num_keys=1
+        )
+    # post-sort values via packed row gathers (1 per source array family)
+    P1 = jnp.stack((sa_kept.astype(it), ls), axis=1)
+    r1 = P1[s_ord]
+    pos_ord = r1[:, 0]
+    ls_ord = r1[:, 1]
     prev_sep = jnp.concatenate(
-        (jnp.ones(1, dtype=bool), dict_flat[:-1] <= 1)
+        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
     )
-    whole = prev_sep[pos_ord]
+    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+    D2 = jnp.stack((prev_sep, prevch), axis=1)
+    r2 = D2[jnp.clip(pos_ord, 0, D - 1)]
+    whole = r2[:, 0] != 0
+    lo = jax.lax.bitcast_convert_type(
+        (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
+    )
+    hi32 = jax.lax.bitcast_convert_type(
+        (bwsai >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32
+    )
+    P3 = jnp.stack((bwlast.astype(jnp.int32), lo, hi32), axis=1)
+    r3 = P3[jnp.clip(j_ord, 0, m_ilist - 1)]
     bwtc = jnp.where(
         whole,
-        bwlast[j_ord],
-        jnp.where(
-            pos_ord == 1,
-            jnp.uint8(0),
-            dict_flat[jnp.maximum(pos_ord - 1, 0)],
-        ),
-    ).astype(jnp.uint8)
-    sa_vals = bwsai[j_ord] - ls[s_ord].astype(jnp.uint64)
+        r3[:, 0].astype(jnp.uint8),
+        jnp.where(pos_ord == 1, jnp.uint8(0), r2[:, 1]),
+    )
+    sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
+        jnp.uint64
+    ) | (
+        jax.lax.bitcast_convert_type(r3[:, 2], jnp.uint32).astype(
+            jnp.uint64
+        )
+        << jnp.uint64(32)
+    )
+    sa_vals = sai_ord - ls_ord.astype(jnp.uint64)
     return bwtc, sa_vals
 
 

@@ -51,7 +51,9 @@ def chunked_cut_positions(
             hit = (h % jnp.uint64(p)) == 0
         cut = hit & (gpos >= w)
         count = jnp.sum(cut.astype(jnp.int64))
-        pos = jnp.nonzero(cut, size=size, fill_value=-1)[0]
+        from .suffix import compact_indices_jax
+
+        pos = compact_indices_jax(cut, size, fill=-1).astype(jnp.int64)
         return count, pos
 
     buf = np.zeros(halo + chunk, dtype=np.uint8)

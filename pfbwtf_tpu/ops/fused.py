@@ -108,42 +108,43 @@ def _substring_hashes_dev(Tp, starts, lens, base: int):
     return (G[s] - G[e]) * inv_powers[s]
 
 
-def _chunk_at(Tp, rs, rl, valid, off):
-    """Big-endian 8-byte pack of Tp[rs+off : rs+off+8], zero-padded past the
-    phrase end; invalid lanes read U64MAX (sort last)."""
-    import jax.numpy as jnp
-
-    tb = Tp.shape[0]
-    val = jnp.zeros(rs.shape[0], dtype=jnp.uint64)
-    for b in range(8):
-        idx = jnp.clip(rs + off + b, 0, tb - 1)
-        ch = Tp[idx].astype(jnp.uint64)
-        ok = (off + b) < rl
-        val = (val << jnp.uint64(8)) | jnp.where(ok, ch, jnp.uint64(0))
-    return jnp.where(valid, val, _U64MAX)
-
-
-_LEX_WORDS = 4  # 8-byte words consumed per refinement round (32 bytes)
+_LEX_WORDS = 8  # 8-byte words consumed per refinement round (64 bytes)
 
 
 def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
     """0-based byte-lex rank of each valid (start, len) rep; early-exit
-    chunk refinement, 32 bytes per round (see module docstring).  Wider
-    rounds quarter the while_loop trip count — the loop was measured
-    dominating J2 at 8 bytes/round (2.2 s of 4.4 s at 16 MB)."""
+    chunk refinement, 64 bytes per round (see module docstring).  Each
+    round reads its bytes with ONE vmapped dynamic_slice (a coalesced
+    (R, span) window gather) — the per-byte scalar-gather form cost
+    1.63 s of J2's 3.9 s at 16 MB on-chip."""
     import jax
     import jax.numpy as jnp
 
     R = rs.shape[0]
+    tb = Tp.shape[0]
     it = jnp.int32 if R < 2**31 - 2 else jnp.int64
     inv = (~valid).astype(it)
     span = 8 * _LEX_WORDS
+    # pad so a window starting at clip(rs+off, 0, tb) is always in
+    # bounds; clipped-to-tb windows belong to lanes already past their
+    # phrase end (rs+off >= tb implies off >= rl), which mask to zero
+    Tp_pad = jnp.concatenate((Tp, jnp.zeros(span, jnp.uint8)))
 
     def chunks_at(off):
-        return [
-            _chunk_at(Tp, rs, rl, valid, off + 8 * wd)
-            for wd in range(_LEX_WORDS)
-        ]
+        start = jnp.clip(rs + off, 0, tb)
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(Tp_pad, (s,), (span,))
+        )(start)
+        j = jnp.arange(span, dtype=rl.dtype)
+        ok = (off + j)[None, :] < rl[:, None]
+        wb = jnp.where(ok, win, jnp.uint8(0)).astype(jnp.uint64)
+        words = []
+        for wd in range(_LEX_WORDS):
+            val = jnp.zeros(R, dtype=jnp.uint64)
+            for b in range(8):
+                val = (val << jnp.uint64(8)) | wb[:, 8 * wd + b]
+            words.append(jnp.where(valid, val, _U64MAX))
+        return words
 
     def ranks_and_done(order, k_rank, k_chunks):
         # densify lexicographic (inv, rank, chunks...) group ids; count the
@@ -206,16 +207,23 @@ def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
     ncuts = jnp.sum(cut.astype(jnp.int64))
     it = jnp.int32 if n_b < 2**31 - 2 else jnp.int64
 
-    # T' = Dollar + C + Dollar*w  (chars_p pads beyond C_len become Dollar)
+    # T' = Dollar + C + Dollar*w  (chars_p pads beyond C_len become
+    # Dollar).  Static concat + where — the shifted-gather form cost
+    # 181 ms at 18.9M on-chip (TPU gathers are row-latency-bound)
     tb = n_b + w + 1
     tidx = jnp.arange(tb, dtype=jnp.int64)
-    Tp = jnp.where(
-        (tidx == 0) | (tidx > C_len),
-        jnp.uint8(Dollar),
-        chars_p[jnp.clip(tidx - 1, 0, n_b - 1)],
+    shifted = jnp.concatenate(
+        (
+            jnp.full(1, Dollar, jnp.uint8),
+            chars_p,
+            jnp.zeros(w, jnp.uint8),
+        )
     )
+    Tp = jnp.where(tidx > C_len, jnp.uint8(Dollar), shifted)
 
-    cuts = jnp.nonzero(cut, size=nph_b, fill_value=n_b)[0]
+    from .suffix import compact_indices_jax
+
+    cuts = compact_indices_jax(cut, nph_b, fill=n_b).astype(jnp.int64)
     k = jnp.arange(nph_b, dtype=jnp.int64)
     valid = k <= ncuts  # nphrases = ncuts + 1
     ends = jnp.where(k < ncuts, cuts + 1, C_len + w)
@@ -338,11 +346,16 @@ def _final_core(
         .set(r + 1, unique_indices=True, mode="drop")
     )
     word = jnp.clip(jax.lax.cummax(mark) - 1, 0, nph_b - 1)
-    wstart = bounds[word] - contrib[word]
-    within = pidx - wstart
+    # (wstart, len, start) as ONE 3-column row gather per position
+    W3 = jnp.stack(
+        (bounds - contrib, dict_len.astype(it), dict_start.astype(it)),
+        axis=1,
+    )
+    wrows = W3[word]
+    within = pidx - wrows[:, 0]
     ch = jnp.where(
-        within < dict_len[word],
-        Tp[jnp.clip(dict_start[word] + within, 0, tb - 1)],
+        within < wrows[:, 1],
+        Tp[jnp.clip(wrows[:, 2] + within, 0, tb - 1)],
         jnp.uint8(EndOfWord),
     )
     dict_flat = jnp.where(pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))

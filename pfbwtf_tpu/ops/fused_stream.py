@@ -69,7 +69,12 @@ def _dict_state_core(
     import jax.numpy as jnp
 
     from .parse_bwt import parse_bwt_core
-    from .suffix import cumsum_u64_jax, doubling_with_captures
+    from .suffix import (
+        compact_indices_jax,
+        cumsum_u64_jax,
+        doubling_with_captures,
+        packed_dict_keys,
+    )
 
     nph_b = parse_ranks.shape[0]
     tb = Tp.shape[0]
@@ -86,11 +91,15 @@ def _dict_state_core(
         .set(r + 1, unique_indices=True, mode="drop")
     )
     word = jnp.clip(jax.lax.cummax(mark) - 1, 0, nph_b - 1)
-    wstart = bounds[word] - contrib[word]
-    within = pidx - wstart
+    W3 = jnp.stack(
+        (bounds - contrib, dict_len.astype(it), dict_start.astype(it)),
+        axis=1,
+    )
+    wrows = W3[word]
+    within = pidx - wrows[:, 0]
     ch = jnp.where(
-        within < dict_len[word],
-        Tp[jnp.clip(dict_start[word] + within, 0, tb - 1)],
+        within < wrows[:, 1],
+        Tp[jnp.clip(wrows[:, 2] + within, 0, tb - 1)],
         jnp.uint8(EndOfWord),
     )
     dict_flat = jnp.where(pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))
@@ -102,18 +111,16 @@ def _dict_state_core(
         (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
     dwords = jnp.sum(is_eow.astype(it))
-    sym = dict_flat.astype(it) + it(1) + dwords
-    sym = jnp.where(is_eow, it(1) + word_id, sym)
-    sym = jnp.where(dict_flat == EndOfDict, pidx - it(dict_b), sym)
     sep_idx = jnp.where(is_sep, pidx, it(dict_b))
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - pidx
-    # exact suffix-equality via rank-block captures (see
-    # bwt_jax.assemble_core) — no u64 hash machinery
+    # packed raw-byte initial keys + exact suffix-equality via rank-block
+    # captures (see bwt_jax.assemble_core) — no u64 hash machinery
+    keys0, k0 = packed_dict_keys(dict_flat, w)
     sa_all, _, C1, C2 = doubling_with_captures(
-        sym, None, suf_len, k0=1, impl=impl
+        keys0, None, suf_len, k0=k0, impl=impl
     )
-    kept_idx = jnp.nonzero(suf_len[sa_all] > w, size=nsuf_b, fill_value=0)[0]
+    kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
     sa_kept = sa_all[kept_idx].astype(it)
     suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
     ls = suf_len[sa_kept]
@@ -149,7 +156,7 @@ def _dict_state_core(
         (jnp.ones(1, bool), gid[1:] != gid[:-1])
     ) & suf_valid
     sidx = jnp.arange(nsuf_b, dtype=it)
-    gs_idx = jnp.nonzero(is_head, size=nsuf_b, fill_value=nsuf_b)[0]
+    gs_idx = compact_indices_jax(is_head, nsuf_b, fill=nsuf_b)
     gs_pref = jnp.where(
         gs_idx < nsuf_b, emis_prefix[jnp.clip(gs_idx, 0, nsuf_b - 1)],
         _I64MAX,
@@ -205,13 +212,24 @@ def _chunk_core(
 
     nsuf_b = sa_kept.shape[0]
     m_ilist = ilist.shape[0]
+    D_b = dict_flat.shape[0]
     it = sa_kept.dtype.type  # np scalar ctor (int32/int64)
     l = jnp.arange(chunk_b, dtype=it)
 
-    # local suffix window: local j covers suffix s0+j while s0+j < s1
-    sj = jnp.clip(s0.astype(it) + l, 0, nsuf_b - 1)
+    # local suffix window [s0, s0+chunk_b): CONTIGUOUS — every per-suffix
+    # array is read with a dynamic_slice (a copy), never a gather
+    def win(a, fill=0):
+        pad = jnp.full(chunk_b, fill, a.dtype)
+        return jax.lax.dynamic_slice(
+            jnp.concatenate((a, pad)), (s0.astype(jnp.int32),), (chunk_b,)
+        )
+
     win_valid = (s0.astype(it) + l) < s1.astype(it)
-    first_local = (emis_prefix[sj] - base).astype(it)
+    first_local = (win(emis_prefix) - base).astype(it)
+    gid_w = win(gid)
+    segu_w = seg_start[win(u)]  # chunk-sized gather from the nph array
+    pos_w = win(sa_kept)
+    ls_w = win(ls)
     # equal first_local values collide in this scatter (zero-count
     # suffixes share their slot with the next emitter, which — prefix
     # being strictly increased only by emitters — is always the LAST of
@@ -223,32 +241,48 @@ def _chunk_core(
         .max(l + 1, mode="drop")
     )
     E_local = jnp.clip(jax.lax.cummax(mark) - 1, 0, chunk_b - 1)
-    s = jnp.clip(s0.astype(it) + E_local, 0, nsuf_b - 1)
     e_valid = l < m_true.astype(it)
-    within = l - first_local[E_local]
-    slot = jnp.clip(seg_start[u[s]] + within, 0, m_ilist - 1)
-    E_j = ilist[slot].astype(jnp.int64)
-    key = (gid[s] - gid[jnp.clip(s0.astype(it), 0, nsuf_b - 1)]).astype(
+    S = jnp.stack((first_local, segu_w, gid_w), axis=1)
+    rows = S[E_local]
+    within = l - rows[:, 0]
+    slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)
+    E_j = ilist.astype(it)[slot]
+    KB = int(np.ceil(np.log2(m_ilist + 2)))
+    key = ((rows[:, 2] - gid_w[0]).astype(jnp.int64) << KB) | E_j.astype(
         jnp.int64
-    ) * jnp.int64(m_ilist + 1) + E_j
+    )
     key = jnp.where(e_valid, key, _I64MAX)
-    order = jnp.argsort(key)
-    s_ord = s[order]
-    j_ord = E_j[order]
-    pos_ord = sa_kept[s_ord]
-    whole = prev_sep[pos_ord]
+    _, e_ord, j_ord = jax.lax.sort((key, E_local, E_j), num_keys=1)
+    P1 = jnp.stack((pos_w, ls_w), axis=1)
+    r1 = P1[e_ord]
+    pos_ord = r1[:, 0]
+    ls_ord = r1[:, 1]
+    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+    D2 = jnp.stack((prev_sep.astype(jnp.uint8), prevch), axis=1)
+    r2 = D2[jnp.clip(pos_ord, 0, D_b - 1)]
+    lo = jax.lax.bitcast_convert_type(
+        (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
+    )
+    hi32 = jax.lax.bitcast_convert_type(
+        (bwsai >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32
+    )
+    P3 = jnp.stack((bwlast.astype(jnp.int32), lo, hi32), axis=1)
+    r3 = P3[jnp.clip(j_ord, 0, m_ilist - 1)]
+    whole = r2[:, 0] != 0
     bwtc = jnp.where(
         whole,
-        bwlast[jnp.clip(j_ord, 0, m_ilist - 1)],
-        jnp.where(
-            pos_ord == 1,
-            jnp.uint8(0),
-            dict_flat[jnp.maximum(pos_ord - 1, 0)],
-        ),
-    ).astype(jnp.uint8)
-    sa_vals = bwsai[jnp.clip(j_ord, 0, m_ilist - 1)] - ls[s_ord].astype(
-        jnp.uint64
+        r3[:, 0].astype(jnp.uint8),
+        jnp.where(pos_ord == 1, jnp.uint8(0), r2[:, 1]),
     )
+    sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
+        jnp.uint64
+    ) | (
+        jax.lax.bitcast_convert_type(r3[:, 2], jnp.uint32).astype(
+            jnp.uint64
+        )
+        << jnp.uint64(32)
+    )
+    sa_vals = sai_ord - ls_ord.astype(jnp.uint64)
     # global slot 0 is the terminator's rotation: SA value = n
     gpos = base + l
     sa_vals = jnp.where(gpos == 0, n_text.astype(jnp.uint64), sa_vals)

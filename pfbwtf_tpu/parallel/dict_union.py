@@ -44,6 +44,7 @@ from ..ops.parse import (
     phrase_bounds_from_cuts,
 )
 from ..utils.errors import die
+from ..ops.suffix import compact_indices_jax as _compact
 
 _U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -106,9 +107,7 @@ def _dict_rank_step(cols_blk, idx_blk, *, axis: str, n_dev: int, cap: int,
     send_cols: List = []
     send_idx: List = []
     for d in range(n_dev):
-        sel = jnp.nonzero(
-            (bucket == d) & valid, size=pair_cap, fill_value=cap
-        )[0]
+        sel = _compact((bucket == d) & valid, pair_cap, fill=cap)
         send_cols.append(
             jnp.take(cols, sel, axis=0, mode="fill", fill_value=_U64MAX)
         )
@@ -437,7 +436,7 @@ def _mesh_rows_step(tp_blk, prev_t_in, base_idx, C_len,
     cut, _ = _cut_mask_t(ext, blk_start, w=w, p=p, H=H, W_t=W_t,
                          C_len=C_len)
     nloc = jnp.sum(cut.astype(jnp.int64))
-    loc = jnp.nonzero(cut, size=local_cap, fill_value=0)[0]
+    loc = _compact(cut, local_cap, fill=0).astype(jnp.int64)
     j = jnp.arange(local_cap, dtype=jnp.int64)
     valid = j < nloc
     ends = blk_start + loc  # T' coords (e = t)

@@ -29,6 +29,8 @@ from functools import partial
 
 import numpy as np
 
+from ..ops.suffix import compact_indices_jax as _compact
+
 _U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _PROGRAMS = {}
 
@@ -91,7 +93,7 @@ def _exchange(key_u64, pays, bucket, valid, *, axis: str, n_dev: int,
     import jax.numpy as jnp
 
     sel = jnp.stack([
-        jnp.nonzero((bucket == d) & valid, size=pair_cap, fill_value=cap)[0]
+        _compact((bucket == d) & valid, pair_cap, fill=cap)
         for d in range(n_dev)
     ])  # (n_dev, pair_cap)
     flat = sel.reshape(-1)
