@@ -108,3 +108,66 @@ def test_pallas_scan_interpret_parity(rng):
         got = hash_scan_pallas(codes, w, p, blk=1 << 16, interpret=True)
         _, _, want = hash_scan_np(chars, w, p)
         assert np.array_equal(got, want), (w, p)
+
+
+def test_doubling_capture_equality_exact():
+    """doubling_with_captures: for adjacent kept suffixes of equal length,
+    (C1, C2) equality must coincide EXACTLY with string equality — on an
+    adversarial dict with planted duplicate words, deep shared prefixes,
+    and words equal except at the last char (hash-free exactness gate)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pfbwtf_tpu.constants import EndOfDict, EndOfWord
+    from pfbwtf_tpu.ops.suffix import (
+        doubling_with_captures,
+        packed_dict_keys,
+    )
+
+    rng = np.random.default_rng(99)
+    base = rng.integers(65, 69, size=120, dtype=np.uint8)  # A..D
+    words = [base.copy(), base.copy()]                      # exact dups
+    w3 = base.copy()
+    w3[-1] ^= 1                                             # differs at end
+    words.append(w3)
+    w4 = base[:77].copy()                                   # prefix-length
+    words.append(w4)
+    for _ in range(6):
+        words.append(rng.integers(65, 69, size=int(rng.integers(5, 90)),
+                                  dtype=np.uint8))
+    flat = []
+    for wd in words:
+        flat.append(wd)
+        flat.append(np.array([EndOfWord], np.uint8))
+    flat.append(np.array([EndOfDict], np.uint8))
+    dict_flat = np.concatenate(flat)
+    D = dict_flat.shape[0]
+    pad = np.zeros(37, np.uint8)  # bucket-style EndOfDict pad tail
+    dict_flat = np.concatenate((dict_flat, pad))
+    Dn = dict_flat.shape[0]
+
+    # suffix lengths (distance to next separator)
+    sep = np.flatnonzero(dict_flat <= 1)
+    suf_len = np.zeros(Dn, np.int64)
+    si = 0
+    for p in range(Dn):
+        while si < len(sep) and sep[si] < p:
+            si += 1
+        suf_len[p] = (sep[si] - p) if si < len(sep) else 0
+
+    W = 3
+    keys, k0 = packed_dict_keys(jnp.asarray(dict_flat), W)
+    sa, _, C1, C2 = doubling_with_captures(
+        keys, None, jnp.asarray(suf_len), k0=k0
+    )
+    sa = np.asarray(sa)
+    C1 = np.asarray(C1)
+    C2 = np.asarray(C2)
+    kept = [int(p) for p in sa if suf_len[p] > W]
+    for a, b in zip(kept, kept[1:]):
+        la, lb = suf_len[a], suf_len[b]
+        if la != lb:
+            continue
+        want = bytes(dict_flat[a:a + la]) == bytes(dict_flat[b:b + lb])
+        got = (C1[a] == C1[b]) and (C2[a] == C2[b])
+        assert got == want, (a, b, la, want, got)
