@@ -111,7 +111,15 @@ def main(argv=None):
             return 1
 
     write_fai(args.ref)
-    vcf = merge_vcfs(args.vcfs)
+    # raw FORMAT retention only when the filter expression needs it
+    # (FMT/TAG other than GT) — panel-scale memory is opt-in
+    import re as _re
+
+    need_fmt = bool(_re.search(
+        r"\b(?:FMT|FORMAT)/(?!GT\b)", args.include + " " + args.exclude,
+        _re.IGNORECASE,
+    ))
+    vcf = merge_vcfs(args.vcfs, store_format=need_fmt)
     res = scan_vcf_sample(
         vcf,
         args.ref,

@@ -116,6 +116,29 @@ def _info_lookup(tag: str, rec):
     return None
 
 
+def _format_lookup(tag: str, rec):
+    """Per-sample values of a FORMAT tag, flattened (any-sample,
+    any-element semantics): None if the tag is absent from FORMAT; dies
+    if the store was built without store_format (raw FORMAT columns are
+    opt-in — panel-scale memory)."""
+    fmt = getattr(rec, "fmt", ".") or "."
+    if fmt in (".", ""):
+        die(f"filter expression: FORMAT tag {tag} requires raw FORMAT "
+            "retention (text VCF input; enabled automatically when a "
+            "-i/-e expression references FMT/)")
+    cols = fmt.split("\t")
+    keys = cols[0].split(":")
+    if tag not in keys:
+        return None
+    ki = keys.index(tag)
+    vals = []
+    for samp in cols[1:]:
+        parts = samp.split(":")
+        v = parts[ki] if ki < len(parts) else "."
+        vals.extend(v.split(","))
+    return vals or None
+
+
 def _gt_values(rec) -> "_GTVals":
     out = _GTVals()
     gts = rec.gts
@@ -155,8 +178,7 @@ def _field_value(name: str, rec):
     if name.startswith(("INFO/", "info/")):
         return _info_lookup(name.split("/", 1)[1], rec)
     if name.startswith(("FMT/", "FORMAT/", "fmt/", "format/")):
-        die(f"filter expression: FORMAT field {name} is not supported "
-            "(only GT is recorded in the columnar store)")
+        return _format_lookup(name.split("/", 1)[1], rec)
     # bare identifier falls through to INFO (bcftools behavior)
     return _info_lookup(name, rec)
 

@@ -42,6 +42,8 @@ class VCFRecord:
     qual: float = float("nan")  # QUAL column ('.' -> nan)
     filter: str = "."  # FILTER column
     info: str = "."  # raw INFO column ("K=V;K2=V2;FLAG"; BCF re-encoded)
+    fmt: str = "."  # raw FORMAT + sample columns ("GT:DP\tv\tv..."),
+    # populated only under store_format=True (opt-in: panel-scale memory)
 
     @property
     def n_allele(self) -> int:
@@ -72,12 +74,13 @@ class _ContigStore:
     __slots__ = (
         "pos", "gts", "allele_arena", "allele_off", "allele_cnt",
         "id_arena", "id_off", "qual", "filter_arena", "filter_off",
-        "info_arena", "info_off",
+        "info_arena", "info_off", "fmt_arena", "fmt_off",
     )
 
     def __init__(self, pos, gts, allele_arena, allele_off, allele_cnt,
                  id_arena, id_off, qual=None, filter_arena=b"",
-                 filter_off=None, info_arena=b"", info_off=None):
+                 filter_off=None, info_arena=b"", info_off=None,
+                 fmt_arena=b"", fmt_off=None):
         self.pos = pos  # (nrec,) int64
         self.gts = gts  # (nrec, nsamples, 2) int16; -1 = missing
         self.allele_arena = allele_arena  # bytes: alleles joined by ','
@@ -99,6 +102,12 @@ class _ContigStore:
         self.info_off = (
             info_off
             if info_off is not None
+            else np.zeros(nrec + 1, dtype=np.int64)
+        )
+        self.fmt_arena = fmt_arena
+        self.fmt_off = (
+            fmt_off
+            if fmt_off is not None
             else np.zeros(nrec + 1, dtype=np.int64)
         )
 
@@ -124,10 +133,14 @@ class _ContigStore:
         s = self.info_arena[self.info_off[i]: self.info_off[i + 1]]
         return s.decode() if s else "."
 
+    def fmt_of(self, i: int) -> str:
+        s = self.fmt_arena[self.fmt_off[i]: self.fmt_off[i + 1]]
+        return s.decode() if s else "."
+
 
 class _ContigBuilder:
     __slots__ = ("pos", "gts", "alleles", "ids", "quals", "filters",
-                 "infos", "_gt_blocks")
+                 "infos", "fmts", "_gt_blocks")
 
     GT_BLOCK = 1024  # rows per int16 block (bounds python-list overhead)
 
@@ -139,6 +152,7 @@ class _ContigBuilder:
         self.quals: List[float] = []
         self.filters: List[bytes] = []
         self.infos: List[bytes] = []
+        self.fmts: List[bytes] = []  # raw FORMAT+samples, only opt-in
         self._gt_blocks: List[np.ndarray] = []
 
     def add_gt_row(self, row: List[int]):
@@ -220,9 +234,19 @@ class _ContigBuilder:
             info_arena = b"".join(self.infos)
         else:
             info_arena = b""
+        fmt_off = np.zeros(nrec + 1, dtype=np.int64)
+        if len(self.fmts) == nrec:
+            np.cumsum(
+                np.array([len(x) for x in self.fmts], np.int64),
+                out=fmt_off[1:],
+            )
+            fmt_arena = b"".join(self.fmts)
+        else:
+            fmt_arena = b""
         return _ContigStore(
             pos, gts, arena, off, cnt, b"".join(self.ids), id_off,
             qual, filt_arena, filt_off, info_arena, info_off,
+            fmt_arena, fmt_off,
         )
 
 
@@ -252,6 +276,7 @@ class _RecordSeq:
             qual=float(st.qual[i]),
             filter=st.filter_of(i),
             info=st.info_of(i),
+            fmt=st.fmt_of(i),
         )
 
     def __iter__(self) -> Iterator[VCFRecord]:
@@ -323,7 +348,8 @@ class _BcfBuf:
 
 
 class VCF:
-    def __init__(self, fname: str, contigs: Optional[List[str]] = None):
+    def __init__(self, fname: str, contigs: Optional[List[str]] = None,
+                 store_format: bool = False):
         """``contigs``: restrict parsing to these contigs.  With a
         ``.csi``/``.tbi`` index next to a bgzip'd VCF the reader SEEKS to
         each contig's first record (the reference's bcf_sr_seek workflow,
@@ -333,6 +359,10 @@ class VCF:
         self.samples: List[str] = []
         self._store: dict = {}  # contig -> _ContigStore
         self._restrict = list(contigs) if contigs is not None else None
+        # opt-in raw FORMAT retention: FMT/TAG filter expressions need the
+        # per-sample columns, which at panel scale dominate memory — only
+        # kept when a consumer asks (htslib re-reads the file instead)
+        self._store_format = store_format
         self._parse(fname)
 
     def _parse(self, fname: str):
@@ -434,6 +464,8 @@ class VCF:
                 b.quals.append(float("nan"))
             b.filters.append(cols[6])
             b.infos.append(cols[7] if cols[7] not in (b".", b"") else b"")
+            if self._store_format and len(cols) > 8:
+                b.fmts.append(b"\t".join(cols[8:]))
             fmt = cols[8].split(b":") if len(cols) > 8 else []
             gt_idx = fmt.index(b"GT") if b"GT" in fmt else -1
             row: List[int] = []
@@ -462,6 +494,11 @@ class VCF:
             self.contigs = contig_seen
 
     def _parse_bcf(self, fp):
+        if self._store_format:
+            from ..utils.errors import die
+
+            die("FORMAT-tag filter expressions need text VCF input "
+                "(per-sample BCF re-encode is not supported)")
         """BCF2 record stream -> the same columnar stores as the text path.
 
         Clean-room decode of the binary container (VCFv4.x spec section 6;
@@ -645,16 +682,18 @@ class VCF:
 
 
 def merge_vcfs(
-    fnames: List[str], contigs: Optional[List[str]] = None
+    fnames: List[str], contigs: Optional[List[str]] = None,
+    store_format: bool = False,
 ) -> "VCF":
     """Multi-VCF support (the reference's synced reader takes a list;
     tests use one file).  Records are concatenated per contig and re-sorted
     by position; samples must agree or be disjoint per file.  ``contigs``
     restricts every file (index-seek where a .csi/.tbi exists)."""
-    base = VCF(fnames[0], contigs=contigs)
+    base = VCF(fnames[0], contigs=contigs, store_format=store_format)
     if len(fnames) == 1:
         return base
-    extras = [VCF(f, contigs=contigs) for f in fnames[1:]]
+    extras = [VCF(f, contigs=contigs, store_format=store_format)
+              for f in fnames[1:]]
     # snapshot each file's OWN sample list before base.samples is extended:
     # pad_gts must index the per-file gts matrix by the per-file layout
     own_samples = {id(v): list(v.samples) for v in [base] + extras}
@@ -691,6 +730,7 @@ def merge_vcfs(
         quals: List[float] = []
         filters: List[bytes] = []
         infos: List[bytes] = []
+        fmts: List[bytes] = []
         cnt_parts = alleles
         for _, st in parts:
             for i in range(len(st)):
@@ -709,6 +749,9 @@ def merge_vcfs(
                 infos.append(
                     st.info_arena[st.info_off[i]: st.info_off[i + 1]]
                 )
+                fmts.append(
+                    st.fmt_arena[st.fmt_off[i]: st.fmt_off[i + 1]]
+                )
         bld = _ContigBuilder()
         bld.pos = pos[order].tolist()
         bld.alleles = [cnt_parts[i] for i in order]
@@ -716,6 +759,8 @@ def merge_vcfs(
         bld.quals = [quals[i] for i in order]
         bld.filters = [filters[i] for i in order]
         bld.infos = [infos[i] for i in order]
+        if any(fmts):
+            bld.fmts = [fmts[i] for i in order]
         bld.gts = []  # gts set directly below
         st = bld.finish(0)
         st.gts = gts

@@ -258,3 +258,33 @@ def test_filter_arithmetic_errors():
         compile_filter('TYPE + 1 > 0')(_reci(5, "A", ["T"]))
     with pytest.raises(PfbwtError):
         compile_filter('STRLEN(QUAL) > 0')(_reci(5, "A", ["T"]))
+
+
+def test_filter_format_tags(tmp_path):
+    """FMT/TAG lookups (any-sample, any-element) over the opt-in raw
+    FORMAT arena; absent tags never match; GT matrix path untouched."""
+    from pfbwtf_tpu.vcf.reader import merge_vcfs
+
+    vcf = tmp_path / "f.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr1,length=100>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "chr1\t5\t.\tA\tT\t50\tPASS\tDP=20\tGT:DP:AD\t0|1:7:3,4\t1|1:31:15,16\n"
+        "chr1\t9\t.\tG\tC\t50\tPASS\t.\tGT\t0|0\t0|1\n"
+    )
+    v = merge_vcfs([str(vcf)], store_format=True)
+    recs = list(v.records_for_contig("chr1"))
+    f = compile_filter("FMT/DP > 30")
+    assert f(recs[0])            # S2 has DP=31
+    assert not f(recs[1])        # no DP tag -> absent -> no match
+    g = compile_filter("MAX(FMT/AD) >= 16 && FMT/DP >= 7")
+    assert g(recs[0])
+    h = compile_filter('FMT/GT = "0|1"')   # GT still via the matrix
+    assert h(recs[0]) and h(recs[1])
+    # without store_format, FMT/TAG dies with a clear message
+    from pfbwtf_tpu.utils.errors import PfbwtError
+
+    v2 = merge_vcfs([str(vcf)])
+    with pytest.raises(PfbwtError, match="FORMAT tag"):
+        compile_filter("FMT/DP > 1")(list(v2.records_for_contig("chr1"))[0])
