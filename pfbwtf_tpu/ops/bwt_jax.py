@@ -32,7 +32,7 @@ from .suffix import (
     packed_dict_keys,
     sort_impl,
 )
-from ..constants import EndOfDict, EndOfWord
+from ..constants import Dollar, EndOfDict, EndOfWord
 
 
 def _bucket(n: int, floor: int = 1 << 12) -> int:
@@ -42,49 +42,74 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
     return -(-n // step) * step
 
 
-def assemble_core(
-    dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
-    w: int, nsuf_b: int, total_b: int, impl: str = "lax"
-):
-    """Traceable emission-sort assembly body — callable standalone (below)
-    or inlined into the fused whole-pipeline program (ops/fused.py).
-    ``impl`` selects the sort engine (suffix.sort_impl)."""
+def dict_sort_part(dict_flat, w: int, impl: str = "lax"):
+    """Dict suffix sort + exact equality captures + per-position metadata.
+
+    Shared by assemble_core and the fused programs (ops/fused.py,
+    ops/fused_stream.py) — the fused path needs the sort result BEFORE
+    the parse-BWT, because it recovers the TRUE byte-lex word ranks from
+    the suffix order (word-start suffixes appear in SA order exactly in
+    byte-lex word order; prefix-freeness decides every comparison before
+    a separator matters), letting the parse stage skip its own byte-lex
+    ranking pass entirely.
+
+    The doubling uses k0 packed raw bytes as initial keys (distinct
+    ascending negatives for EndOfDict terminator + pads, so the loop is
+    bounded by the real suffixes' max LCP, not the pad-run length), and
+    captures, per position, the rank blocks [p, p+t) / [p+len-t, p+len)
+    at level t = floor_pow2(len): equal-length suffixes are string-equal
+    IFF both captured blocks match (sparse-table two-block equality) —
+    exact, and one int32 gather per round instead of the emulated-u64
+    polynomial-hash machinery.
+
+    Returns (sa_all, C1, C2, suf_len, word_id).
+    """
     D = dict_flat.shape[0]
-    dwords = occs.shape[0]
-    # int32 for every counting scan (indices/counts < 2**31 — the 32-bit
-    # width guards fire long before): 64-bit scans lower to u32-pair
-    # reduce-windows on TPU, slow and scoped-VMEM-hungry at multi-M sizes
-    it = jnp.int32 if max(D, total_b) < 2**31 - 2 else jnp.int64
+    it = jnp.int32 if D < 2**31 - 2 else jnp.int64
     iota = jnp.arange(D, dtype=it)
     is_eow = dict_flat == EndOfWord
     is_sep = is_eow | (dict_flat == EndOfDict)
     word_id = jnp.concatenate(
         (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
-    # initial doubling keys: k0 raw bytes packed per lane (distinct
-    # ascending negatives for EndOfDict terminator + pads, so the loop is
-    # bounded by the real suffixes' max LCP, not the pad-run length)
     keys0, k0 = packed_dict_keys(dict_flat, w)
     # suffix length = distance to the next separator (reverse cummin) —
-    # computed BEFORE the sort so the doubling loop can capture, per
-    # position, the rank blocks that decide string equality
+    # computed BEFORE the sort so the doubling loop can capture
     sep_idx = jnp.where(is_sep, iota, it(D))
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - iota
-    # doubling sort + EXACT suffix-equality captures: equal-length
-    # suffixes are string-equal iff their level-floor_pow2(len) rank
-    # blocks [p, p+t) and [p+len-t, p+len) match (sparse-table two-block
-    # equality).  Replaces the emulated-u64 polynomial hashes — exact,
-    # and costs one int32 gather per doubling round instead of 4 pow_u64
-    # + 2 cumsum_u64 passes over the dict.
     sa_all, _, C1, C2 = doubling_with_captures(
         keys0, None, suf_len, k0=k0, impl=impl
     )
+    return sa_all, C1, C2, suf_len, word_id
+
+
+def assemble_core(
+    dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
+    w: int, nsuf_b: int, total_b: int, impl: str = "lax",
+    sorted_state=None, seg_start=None,
+):
+    """Traceable emission-sort assembly body — callable standalone (below)
+    or inlined into the fused whole-pipeline program (ops/fused.py).
+    ``impl`` selects the sort engine (suffix.sort_impl).  ``sorted_state``
+    (a dict_sort_part result) and ``seg_start`` let the fused path reuse
+    its sort and supply ilist segment starts permuted to ITS word order
+    (provisional dedup order); by default both derive from the byte-lex
+    dict this standalone path receives."""
+    D = dict_flat.shape[0]
+    dwords = occs.shape[0]
+    # int32 for every counting scan (indices/counts < 2**31 — the 32-bit
+    # width guards fire long before): 64-bit scans lower to u32-pair
+    # reduce-windows on TPU, slow and scoped-VMEM-hungry at multi-M sizes
+    it = jnp.int32 if max(D, total_b) < 2**31 - 2 else jnp.int64
+    if sorted_state is None:
+        sorted_state = dict_sort_part(dict_flat, w, impl)
+    sa_all, C1, C2, suf_len, word_id = sorted_state
     # keep suffixes longer than w, in lexicographic order
     kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
     sa_kept = sa_all[kept_idx]
     suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
-    ls = suf_len[sa_kept]
+    ls = suf_len[sa_kept].astype(it)
     c1k = C1[sa_kept]
     c2k = C2[sa_kept]
     # equality groups via (len, rank-block pair)
@@ -97,11 +122,16 @@ def assemble_core(
     gid = jnp.concatenate(
         (jnp.zeros(1, it), jnp.cumsum((~eq).astype(it)))
     )
-    u = jnp.clip(word_id[sa_kept], 0, jnp.maximum(it(dwords) - 1, 0))
-    occs_n = occs.astype(it)
-    seg_start = jnp.concatenate(
-        (jnp.ones(1, it), it(1) + jnp.cumsum(occs_n)[:-1])
+    u = jnp.clip(
+        word_id[sa_kept].astype(it), 0, jnp.maximum(it(dwords) - 1, 0)
     )
+    occs_n = occs.astype(it)
+    if seg_start is None:
+        seg_start = jnp.concatenate(
+            (jnp.ones(1, it), it(1) + jnp.cumsum(occs_n)[:-1])
+        )
+    else:
+        seg_start = seg_start.astype(it)
     counts = jnp.where(suf_valid, occs_n[u], it(0))
     # emission fan-out WITHOUT jnp.repeat (measured ~0.6 s per repeat over
     # total_b at 16 MB): scatter suffix ids at their segments' first
@@ -166,10 +196,14 @@ def assemble_core(
     )
     P3 = jnp.stack((bwlast.astype(jnp.int32), lo, hi32), axis=1)
     r3 = P3[jnp.clip(j_ord, 0, m_ilist - 1)]
+    # EOS rule, content-based (word order independent): among KEPT
+    # suffixes, a preceding Dollar can only be T's leading sentinel (the
+    # trailing-Dollar run's suffixes are all <= w long), and the char
+    # "before" it is the terminator 0x00
     bwtc = jnp.where(
         whole,
         r3[:, 0].astype(jnp.uint8),
-        jnp.where(pos_ord == 1, jnp.uint8(0), r2[:, 1]),
+        jnp.where(r2[:, 1] == Dollar, jnp.uint8(0), r2[:, 1]),
     )
     sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
         jnp.uint64

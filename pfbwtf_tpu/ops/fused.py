@@ -272,23 +272,18 @@ def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
         .add(jnp.where(valid, 1, 0), mode="drop")
     )
 
-    # byte-lex rank (0-based) of each group's rep
+    # dict views stay in PROVISIONAL (dedup-sorted) order: the true
+    # byte-lex word ranks fall out of J3's dict suffix sort for free
+    # (word-start suffixes in SA order == byte-lex word order), so the
+    # dedicated byte-lex refinement pass (1.6 s of J2 at 16 MB on-chip)
+    # is gone; J3 remaps ranks before the parse-BWT.
     rep_valid = jnp.arange(nph_b, dtype=jnp.int64) < D
-    maxlen = jnp.max(lens)
-    lex = _rep_lex_ranks(Tp, rep_start, rep_len, rep_valid, D, maxlen)
+    dict_start = rep_start * rep_valid
+    dict_len = rep_len * rep_valid
+    occs = group_counts * rep_valid
 
-    # dict-order views: dict slot r <- group with lex rank r
-    inv_lex = (
-        jnp.zeros(nph_b, jnp.int64)
-        .at[jnp.clip(lex, 0, nph_b - 1)]
-        .add(jnp.arange(nph_b, dtype=jnp.int64) * rep_valid, mode="drop")
-    )
-    dict_start = rep_start[inv_lex] * rep_valid
-    dict_len = rep_len[inv_lex] * rep_valid
-    occs = group_counts[inv_lex] * rep_valid
-
-    # per-occurrence outputs
-    parse_ranks = jnp.where(valid, lex[jnp.clip(gid, 0, nph_b - 1)] + 1, 0)
+    # per-occurrence outputs (provisional ranks, 1-based)
+    parse_ranks = jnp.where(valid, jnp.clip(gid, 0, nph_b - 1) + 1, 0)
     last = jnp.where(
         valid, Tp[jnp.clip(ends - w, 0, tb - 1)], jnp.uint8(0)
     )
@@ -360,12 +355,52 @@ def _final_core(
     )
     dict_flat = jnp.where(pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))
 
-    bwlast, ilist, bwsai, _ = parse_bwt_core(
-        parse_ranks.astype(jnp.int64), last, sai, nphrases, impl=impl
+    # dict suffix sort FIRST: word-start suffixes appear in SA order in
+    # byte-lex word order (prefix-free), recovering the true ranks the
+    # parse stage no longer computes
+    from .bwt_jax import dict_sort_part
+    from .suffix import compact_indices_jax
+
+    ss = dict_sort_part(dict_flat, w, impl)
+    sa_all, _, _, _, word_id = ss
+    prev_sep0 = jnp.concatenate(
+        (jnp.ones(1, bool), dict_flat[:-1] <= 1)
     )
+    is_wstart = prev_sep0 & (pidx.astype(jnp.int64) < dict_total - 1)
+    wsa = compact_indices_jax(is_wstart[sa_all], nph_b, fill=0)
+    prov_in_lex = word_id[jnp.clip(sa_all[wsa], 0, dict_b - 1)].astype(it)
+    lex_valid = jnp.arange(nph_b, dtype=it) < it(D)
+    lex_of_prov = (
+        jnp.zeros(nph_b, it)
+        .at[jnp.where(lex_valid, jnp.clip(prov_in_lex, 0, nph_b - 1),
+                      it(nph_b))]
+        .set(jnp.arange(nph_b, dtype=it), unique_indices=True,
+             mode="drop")
+    )
+    ranks_true = jnp.where(
+        parse_ranks > 0,
+        lex_of_prov[
+            jnp.clip(parse_ranks - 1, 0, nph_b - 1)
+        ].astype(jnp.int64) + 1,
+        0,
+    )
+    bwlast, ilist, bwsai, _ = parse_bwt_core(
+        ranks_true, last, sai, nphrases, impl=impl
+    )
+    # ilist segment starts live in LEX rank space; permute them to the
+    # provisional word ids the dict (and its suffixes' word_id) carry
+    occs_lex = jnp.where(
+        lex_valid, occs[jnp.clip(prov_in_lex, 0, nph_b - 1)].astype(it),
+        it(0),
+    )
+    seg_lex = jnp.concatenate(
+        (jnp.ones(1, it), it(1) + jnp.cumsum(occs_lex)[:-1])
+    )
+    seg_prov = seg_lex[jnp.clip(lex_of_prov, 0, nph_b - 1)]
     bwtc, sa_vals = assemble_core(
         dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
-        w, nsuf_b, total_b, impl=impl,
+        w, nsuf_b, total_b, impl=impl, sorted_state=ss,
+        seg_start=seg_prov,
     )
     checksum = jnp.sum(bwtc.astype(jnp.uint64)) + jnp.sum(sa_vals)
     return bwtc, sa_vals, checksum

@@ -135,14 +135,41 @@ def _dict_state_core(
     gid = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum((~eq).astype(it))))
     u = jnp.clip(word_id[sa_kept], 0, jnp.maximum(dwords - 1, 0))
 
+    # ---- true byte-lex ranks from the suffix order (see fused.py) ----
+    prev_sep0 = jnp.concatenate((jnp.ones(1, bool), dict_flat[:-1] <= 1))
+    is_wstart = prev_sep0 & (pidx.astype(jnp.int64) < dict_total - 1)
+    wsa = compact_indices_jax(is_wstart[sa_all], nph_b, fill=0)
+    prov_in_lex = word_id[jnp.clip(sa_all[wsa], 0, dict_b - 1)].astype(it)
+    lex_valid = jnp.arange(nph_b, dtype=it) < it(D)
+    lex_of_prov = (
+        jnp.zeros(nph_b, it)
+        .at[jnp.where(lex_valid, jnp.clip(prov_in_lex, 0, nph_b - 1),
+                      it(nph_b))]
+        .set(jnp.arange(nph_b, dtype=it), unique_indices=True,
+             mode="drop")
+    )
+    ranks_true = jnp.where(
+        parse_ranks > 0,
+        lex_of_prov[
+            jnp.clip(parse_ranks - 1, 0, nph_b - 1)
+        ].astype(jnp.int64) + 1,
+        0,
+    )
+
     # ---- parse-BWT (nph-scale) ----
     bwlast, ilist, bwsai, _ = parse_bwt_core(
-        parse_ranks.astype(jnp.int64), last, sai, nphrases, impl=impl
+        ranks_true, last, sai, nphrases, impl=impl
     )
     occs_n = occs.astype(it)
-    seg_start = jnp.concatenate(
-        (jnp.ones(1, it), it(1) + jnp.cumsum(occs_n)[:-1])
+    # ilist segment starts live in LEX rank space; permute to the
+    # provisional word ids the dict suffixes carry
+    occs_lex = jnp.where(
+        lex_valid, occs_n[jnp.clip(prov_in_lex, 0, nph_b - 1)], it(0)
     )
+    seg_lex = jnp.concatenate(
+        (jnp.ones(1, it), it(1) + jnp.cumsum(occs_lex)[:-1])
+    )
+    seg_start = seg_lex[jnp.clip(lex_of_prov, 0, nph_b - 1)]
 
     # ---- emission prefix (exclusive) per kept suffix, int64-exact ----
     counts = jnp.where(suf_valid, occs_n[u], it(0))
@@ -269,10 +296,14 @@ def _chunk_core(
     P3 = jnp.stack((bwlast.astype(jnp.int32), lo, hi32), axis=1)
     r3 = P3[jnp.clip(j_ord, 0, m_ilist - 1)]
     whole = r2[:, 0] != 0
+    # EOS rule, content-based (word order independent): among KEPT
+    # suffixes a preceding Dollar can only be T's leading sentinel
+    from ..constants import Dollar
+
     bwtc = jnp.where(
         whole,
         r3[:, 0].astype(jnp.uint8),
-        jnp.where(pos_ord == 1, jnp.uint8(0), r2[:, 1]),
+        jnp.where(r2[:, 1] == Dollar, jnp.uint8(0), r2[:, 1]),
     )
     sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
         jnp.uint64

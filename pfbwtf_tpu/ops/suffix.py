@@ -373,7 +373,10 @@ def compact_indices_jax(mask, size: int, fill: int = 0):
     it = jnp.int32 if n < 2**31 - 2 else jnp.int64
     idx = jnp.arange(n, dtype=it)
     key = jnp.where(mask, idx, it(n))  # False lanes sort last
-    out = jax.lax.sort(key)[:size]
+    out = jax.lax.sort(key)
+    if size > n:  # requested capacity exceeds the mask length: pad fills
+        out = jnp.concatenate((out, jnp.full(size - n, n, it)))
+    out = out[:size]
     return jnp.where(out == it(n), it(fill), out)
 
 
