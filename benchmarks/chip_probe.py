@@ -97,16 +97,6 @@ def main():
         t("J2: substring hashes u64 x2 (full Tp)", lambda: int(np.asarray(
             sub_j(Tp, dict_start, dict_len))))
 
-        lex_j = jax.jit(partial(
-            lambda Tp, rs, rl, D, maxlen: fused._rep_lex_ranks(
-                Tp, rs, rl,
-                jnp.arange(rs.shape[0], dtype=jnp.int64) < D,
-                D, maxlen).sum()))
-        maxlen = int(np.asarray(jnp.max(dict_len)))
-        t("J2: rep lex chunk-refinement", lambda: int(np.asarray(
-            lex_j(Tp, dict_start, dict_len, jnp.int64(D),
-                  jnp.int64(maxlen)))))
-
     # ---------------- J3 pieces ----------------
     nsuf = (dict_total - 1 - D) - D * W
     total = C_len + 1

@@ -6,19 +6,23 @@ chains the WHOLE construction — cut scan -> phrase bounds -> dictionary
 dedup/rank -> parse-BWT -> emission-sort assembly — through two device
 programs whose intermediates never leave HBM:
 
-  J2 parse     cut scan + count, cut compaction, phrase bounds, dictionary
-               dedup by (len, two 64-bit polynomial substring hashes),
-               byte-lex ranking of the unique representatives by early-exit
-               chunk refinement, per-occurrence metadata (rank/last/sai),
-               and the dict (start, len) view — all device arrays, kept in
-               HBM.  The phrase-array bucket is chosen SPECULATIVELY from
+  J2 parse     cut scan + count, cut compaction (sort-based — sized
+               nonzero is a full-length scatter on TPU), phrase bounds,
+               dictionary dedup by (len, two 64-bit polynomial substring
+               hashes), per-occurrence metadata (rank/last/sai), and the
+               dict (start, len) view in PROVISIONAL dedup order — all
+               device arrays, kept in HBM.  The phrase-array bucket is
+               chosen SPECULATIVELY from
                C_len/p (cuts are hash%p==0 events, tightly concentrated at
                rate 1/p); the device-counted ncuts comes back in the single
                sizing fetch, and the rare overflow (adversarial inputs whose
                cut density far exceeds 1/p) re-runs J2 at the exact bucket.
-  J3 assemble  dict byte-array construction, generalized dict suffix sort,
-               parse-BWT (doubling SA + permutes), emission fan-out and the
-               final (suffix-group, ilist-pos) sort -> bwt chars + SA
+  J3 assemble  dict byte-array construction, generalized dict suffix
+               sort, TRUE byte-lex word-rank recovery (word-start suffixes
+               appear in SA order exactly in byte-lex word order by
+               prefix-freeness — J2 needs no ranking pass of its own),
+               parse-BWT (doubling SA + permutes), emission fan-out and
+               the final (suffix-group, ilist-pos) sort -> bwt chars + SA
                samples.  Reuses parse_bwt_core / assemble_core.
 
 The chain costs exactly TWO host syncs: one 3-scalar fetch after J2 (ncuts,
@@ -27,18 +31,11 @@ fetch.  Round 2's separate J1 sizing pass (a third sync plus a second full
 hash scan over the input) is gone.
 
 Covers run_parser + run_pfbwt of the reference in one chain
-(src/pfbwt-f.cpp:209-349) with only .bwt/.sa leaving HBM.  The byte-lex
-ranking matches pfparser.hpp:500-517 (strcmp dict order); dedup equality is
+(src/pfbwt-f.cpp:209-349) with only .bwt/.sa leaving HBM.  The recovered
+ranks match pfparser.hpp:500-517 (strcmp dict order); dedup equality is
 (len, h1, h2) with two independent 64-bit hashes — the same contract as the
 host hash path (ops/parse._dedup_and_rank), cross-checked against the exact
 native-memcmp path in tests.
-
-Chunk refinement instead of one wide lexsort: phrases can be thousands of
-bytes (repetitive inputs), so a single sort keyed on ceil(maxlen/8) operands
-would build an enormous comparator.  Instead the unique reps are re-sorted
-by (current rank, next 8 bytes) in a lax.while_loop that exits as soon as
-all reps are distinguished — genomic dictionaries split within a few rounds
-because hash-chosen cut points decorrelate phrase prefixes.
 """
 
 from functools import partial
@@ -106,85 +103,6 @@ def _substring_hashes_dev(Tp, starts, lens, base: int):
     s = jnp.clip(starts, 0, tb - 1)
     e = jnp.clip(starts + lens, 0, tb)
     return (G[s] - G[e]) * inv_powers[s]
-
-
-_LEX_WORDS = 8  # 8-byte words consumed per refinement round (64 bytes)
-
-
-def _rep_lex_ranks(Tp, rs, rl, valid, D, maxlen):
-    """0-based byte-lex rank of each valid (start, len) rep; early-exit
-    chunk refinement, 64 bytes per round (see module docstring).  Each
-    round reads its bytes with ONE vmapped dynamic_slice (a coalesced
-    (R, span) window gather) — the per-byte scalar-gather form cost
-    1.63 s of J2's 3.9 s at 16 MB on-chip."""
-    import jax
-    import jax.numpy as jnp
-
-    R = rs.shape[0]
-    tb = Tp.shape[0]
-    it = jnp.int32 if R < 2**31 - 2 else jnp.int64
-    inv = (~valid).astype(it)
-    span = 8 * _LEX_WORDS
-    # pad so a window starting at clip(rs+off, 0, tb) is always in
-    # bounds; clipped-to-tb windows belong to lanes already past their
-    # phrase end (rs+off >= tb implies off >= rl), which mask to zero
-    Tp_pad = jnp.concatenate((Tp, jnp.zeros(span, jnp.uint8)))
-
-    def chunks_at(off):
-        start = jnp.clip(rs + off, 0, tb)
-        win = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(Tp_pad, (s,), (span,))
-        )(start)
-        j = jnp.arange(span, dtype=rl.dtype)
-        ok = (off + j)[None, :] < rl[:, None]
-        wb = jnp.where(ok, win, jnp.uint8(0)).astype(jnp.uint64)
-        words = []
-        for wd in range(_LEX_WORDS):
-            val = jnp.zeros(R, dtype=jnp.uint64)
-            for b in range(8):
-                val = (val << jnp.uint64(8)) | wb[:, 8 * wd + b]
-            words.append(jnp.where(valid, val, _U64MAX))
-        return words
-
-    def ranks_and_done(order, k_rank, k_chunks):
-        # densify lexicographic (inv, rank, chunks...) group ids; count the
-        # distinct groups among valid lanes (invalid lanes sort last, so a
-        # group is valid iff its head lane is valid)
-        keys = [inv[order], k_rank[order]] + [c[order] for c in k_chunks]
-        neq = None
-        for k in keys:
-            d = k[1:] != k[:-1]
-            neq = d if neq is None else (neq | d)
-        changed = jnp.concatenate((jnp.zeros(1, it), neq.astype(it)))
-        nr = jnp.cumsum(changed)
-        rank = (
-            jnp.zeros(R, it)
-            .at[order]
-            .set(nr, unique_indices=True, mode="promise_in_bounds")
-        )
-        head = changed.at[0].set(1)
-        ngroups = jnp.sum(jnp.where(valid[order], head, 0).astype(jnp.int64))
-        return rank, ngroups
-
-    c0 = chunks_at(0)
-    order0 = jnp.lexsort(tuple(reversed(c0)) + (inv,))
-    rank, ngroups = ranks_and_done(order0, jnp.zeros(R, it), c0)
-
-    def cond(carry):
-        rank, off, ngroups = carry
-        return (ngroups < D) & (off < maxlen)
-
-    def body(carry):
-        rank, off, _ = carry
-        c = chunks_at(off)
-        order = jnp.lexsort(tuple(reversed(c)) + (rank, inv))
-        rank, ngroups = ranks_and_done(order, rank, c)
-        return rank, off + span, ngroups
-
-    rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, jnp.int64(span), ngroups)
-    )
-    return rank.astype(jnp.int64)  # 0-based; invalid lanes share top ranks
 
 
 def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
