@@ -176,18 +176,23 @@ def assemble_core(
         _, s_ord, j_ord = jax.lax.sort(
             (key, E_suffix, E_j), num_keys=1
         )
-    # post-sort values via packed row gathers (1 per source array family)
-    P1 = jnp.stack((sa_kept.astype(it), ls), axis=1)
-    r1 = P1[s_ord]
-    pos_ord = r1[:, 0]
-    ls_ord = r1[:, 1]
+    # post-sort values via packed row gathers (1 per source array family).
+    # The dict-side facts a suffix needs (is its position a word start?
+    # what char precedes it?) are folded into the SUFFIX table: gathered
+    # once at nsuf scale pre-sort instead of again at total_b scale
+    # post-sort (total_b gathers cost ~4x the nsuf ones).
     prev_sep = jnp.concatenate(
         (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
     )
     prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
-    D2 = jnp.stack((prev_sep, prevch), axis=1)
-    r2 = D2[jnp.clip(pos_ord, 0, D - 1)]
-    whole = r2[:, 0] != 0
+    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
+    P1 = jnp.stack(
+        (ls, prev_sep[sk].astype(it), prevch[sk].astype(it)), axis=1
+    )
+    r1 = P1[s_ord]
+    ls_ord = r1[:, 0]
+    whole = r1[:, 1] != 0
+    pch = r1[:, 2]
     lo = jax.lax.bitcast_convert_type(
         (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
     )
@@ -203,7 +208,7 @@ def assemble_core(
     bwtc = jnp.where(
         whole,
         r3[:, 0].astype(jnp.uint8),
-        jnp.where(r2[:, 1] == Dollar, jnp.uint8(0), r2[:, 1]),
+        jnp.where(pch == it(Dollar), jnp.uint8(0), pch.astype(jnp.uint8)),
     )
     sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
         jnp.uint64
