@@ -176,6 +176,47 @@ def main():
           lambda: int(np.asarray(pb_j(
               parse_ranks, last, sai, jnp.int64(ncuts + 1)))))
 
+    # ---------------- REAL pipeline pieces (current code) --------------
+    if "real" in pieces:
+        from pfbwtf_tpu.ops.bwt_jax import dict_sort_part
+
+        def _dict_flat_real(Tp, dict_start, dict_len, D, dict_total):
+            it = jnp.int32
+            r = jnp.arange(nph_b, dtype=it)
+            contrib = jnp.where(r < it(D), dict_len.astype(it) + 1, it(0))
+            bounds = jnp.cumsum(contrib)
+            pidx = jnp.arange(dict_b, dtype=it)
+            mark = (
+                jnp.zeros(dict_b, it)
+                .at[jnp.where(r < it(D), bounds - contrib, it(dict_b))]
+                .set(r + 1, unique_indices=True, mode="drop")
+            )
+            word = jnp.clip(jax.lax.cummax(mark) - 1, 0, nph_b - 1)
+            W3 = jnp.stack(
+                (bounds - contrib, dict_len.astype(it),
+                 dict_start.astype(it)), axis=1)
+            wrows = W3[word]
+            within = pidx - wrows[:, 0]
+            ch = jnp.where(
+                within < wrows[:, 1],
+                Tp[jnp.clip(wrows[:, 2] + within, 0, tb - 1)],
+                jnp.uint8(EndOfWord),
+            )
+            return jnp.where(
+                pidx < dict_total - 1, ch, jnp.uint8(EndOfDict))
+
+        dfr_j = jax.jit(_dict_flat_real)
+        t("REAL: dict_flat build (scatter+cummax+rowgather)",
+          lambda: int(np.asarray(dfr_j(
+              Tp, dict_start, dict_len, jnp.int64(D),
+              jnp.int64(dict_total)).astype(jnp.int32).sum())))
+        dict_flat2 = dfr_j(Tp, dict_start, dict_len, jnp.int64(D),
+                           jnp.int64(dict_total))
+
+        ds_j = jax.jit(lambda df: dict_sort_part(df, W, "lax")[0][:8].sum())
+        t(f"REAL: dict_sort_part (packed keys + captures, n={dict_b})",
+          lambda: int(np.asarray(ds_j(dict_flat2))))
+
     # ---------------- J2 remainder pieces ----------------
     if "j2b" in pieces:
         from pfbwtf_tpu.constants import Dollar

@@ -146,17 +146,26 @@ def assemble_core(
              mode="drop")
     )
     E_suffix = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_b - 1)
-    # TPU gathers are row-latency-bound: fetch (first, seg_start[u], gid)
-    # as ONE 3-column row gather instead of three full-length gathers
-    S = jnp.stack((first, seg_start[u], gid), axis=1)
+    # TPU gathers are row-latency-bound: EVERYTHING a lane needs from its
+    # suffix — emission base, ilist segment, group id, suffix length, and
+    # the folded dict-side facts (is the position a word start? which
+    # char precedes it?) — comes from ONE 5-column row gather; the final
+    # sort then CARRIES the per-lane values so no post-sort permutation
+    # gathers at total_b scale remain except the ilist-side row.
+    prev_sep = jnp.concatenate(
+        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
+    )
+    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
+    flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
+    S = jnp.stack((first, seg_start[u], gid, ls, flags), axis=1)
     rows = S[E_suffix]
     within = eidx - rows[:, 0]
     e_valid = eidx < it(total_true)
     m_ilist = ilist.shape[0]
     slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)
     E_j = ilist.astype(it)[slot]
-    # final order: (gid, j); invalid emissions sort last.  The sort
-    # CARRIES (E_suffix, E_j) so no post-sort permutation gathers.
+    # final order: (gid, j); invalid emissions sort last
     if impl == "radix" and total_b < 2**31 - 2:
         from .radix import key_bits, radix_argsort_pair
 
@@ -167,32 +176,18 @@ def assemble_core(
             nbits_hi=key_bits(nsuf_b),
             nbits_lo=key_bits(int(m_ilist)),
         )
-        s_ord = E_suffix[order]
         j_ord = E_j[order]
+        ls_ord = rows[:, 3][order]
+        fl_ord = rows[:, 4][order]
     else:
         KB = int(np.ceil(np.log2(m_ilist + 2)))
         key = (rows[:, 2].astype(jnp.int64) << KB) | E_j.astype(jnp.int64)
         key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
-        _, s_ord, j_ord = jax.lax.sort(
-            (key, E_suffix, E_j), num_keys=1
+        _, j_ord, ls_ord, fl_ord = jax.lax.sort(
+            (key, E_j, rows[:, 3], rows[:, 4]), num_keys=1
         )
-    # post-sort values via packed row gathers (1 per source array family).
-    # The dict-side facts a suffix needs (is its position a word start?
-    # what char precedes it?) are folded into the SUFFIX table: gathered
-    # once at nsuf scale pre-sort instead of again at total_b scale
-    # post-sort (total_b gathers cost ~4x the nsuf ones).
-    prev_sep = jnp.concatenate(
-        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
-    )
-    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
-    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
-    P1 = jnp.stack(
-        (ls, prev_sep[sk].astype(it), prevch[sk].astype(it)), axis=1
-    )
-    r1 = P1[s_ord]
-    ls_ord = r1[:, 0]
-    whole = r1[:, 1] != 0
-    pch = r1[:, 2]
+    whole = (fl_ord >> it(8)) != 0
+    pch = fl_ord & it(255)
     lo = jax.lax.bitcast_convert_type(
         (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
     )

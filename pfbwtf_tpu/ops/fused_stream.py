@@ -257,6 +257,10 @@ def _chunk_core(
     segu_w = seg_start[win(u)]  # chunk-sized gather from the nph array
     pos_w = win(sa_kept)
     ls_w = win(ls)
+    # dict-side facts folded per-suffix (chunk-sized gathers)
+    prevch_d = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+    pw = jnp.clip(pos_w, 0, D_b - 1)
+    flags_w = (prev_sep[pw].astype(it) << it(8)) | prevch_d[pw].astype(it)
     # equal first_local values collide in this scatter (zero-count
     # suffixes share their slot with the next emitter, which — prefix
     # being strictly increased only by emitters — is always the LAST of
@@ -269,7 +273,7 @@ def _chunk_core(
     )
     E_local = jnp.clip(jax.lax.cummax(mark) - 1, 0, chunk_b - 1)
     e_valid = l < m_true.astype(it)
-    S = jnp.stack((first_local, segu_w, gid_w), axis=1)
+    S = jnp.stack((first_local, segu_w, gid_w, ls_w, flags_w), axis=1)
     rows = S[E_local]
     within = l - rows[:, 0]
     slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)
@@ -279,14 +283,9 @@ def _chunk_core(
         jnp.int64
     )
     key = jnp.where(e_valid, key, _I64MAX)
-    _, e_ord, j_ord = jax.lax.sort((key, E_local, E_j), num_keys=1)
-    P1 = jnp.stack((pos_w, ls_w), axis=1)
-    r1 = P1[e_ord]
-    pos_ord = r1[:, 0]
-    ls_ord = r1[:, 1]
-    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
-    D2 = jnp.stack((prev_sep.astype(jnp.uint8), prevch), axis=1)
-    r2 = D2[jnp.clip(pos_ord, 0, D_b - 1)]
+    _, j_ord, ls_ord, fl_ord = jax.lax.sort(
+        (key, E_j, rows[:, 3], rows[:, 4]), num_keys=1
+    )
     lo = jax.lax.bitcast_convert_type(
         (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
     )
@@ -295,7 +294,8 @@ def _chunk_core(
     )
     P3 = jnp.stack((bwlast.astype(jnp.int32), lo, hi32), axis=1)
     r3 = P3[jnp.clip(j_ord, 0, m_ilist - 1)]
-    whole = r2[:, 0] != 0
+    whole = (fl_ord >> it(8)) != 0
+    pch = fl_ord & it(255)
     # EOS rule, content-based (word order independent): among KEPT
     # suffixes a preceding Dollar can only be T's leading sentinel
     from ..constants import Dollar
@@ -303,7 +303,7 @@ def _chunk_core(
     bwtc = jnp.where(
         whole,
         r3[:, 0].astype(jnp.uint8),
-        jnp.where(r2[:, 1] == Dollar, jnp.uint8(0), r2[:, 1]),
+        jnp.where(pch == it(Dollar), jnp.uint8(0), pch.astype(jnp.uint8)),
     )
     sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
         jnp.uint64
