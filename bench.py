@@ -26,8 +26,12 @@ import time
 
 import numpy as np
 
-SIZE_MB = int(os.environ.get("PFBWT_BENCH_MB", "16"))
-DEVICE_BUDGET_S = int(os.environ.get("PFBWT_BENCH_DEVICE_BUDGET", "420"))
+# 64 MB default: the fixed dispatch/H2D costs of the remote-tunnel rig
+# amortize and the reference binary is past its small-input sweet spot —
+# the realistic comparison point (recorded r3: 0.78x @16 MB, 0.98x @64).
+# The compile cache at /tmp/pfbwtf_tpu_xla_cache keeps warm runs ~90 s.
+SIZE_MB = int(os.environ.get("PFBWT_BENCH_MB", "64"))
+DEVICE_BUDGET_S = int(os.environ.get("PFBWT_BENCH_DEVICE_BUDGET", "900"))
 W, P = 10, 100
 CACHE = f"/tmp/pfbwtf_tpu_bench_{SIZE_MB}mb"
 # On-chip fori_loop count: amortizes the per-dispatch tunnel latency so
