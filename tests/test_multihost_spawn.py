@@ -23,6 +23,12 @@ pytestmark = pytest.mark.skipif(
 _WORKER = r"""
 import os, sys
 sys.path.insert(0, os.environ["PFBWT_REPO"])
+# JAX_PLATFORMS=cpu in env is IGNORED by the axon TPU plugin; only the
+# config knob reliably keeps the workers off the (possibly busy/absent)
+# remote chip.  Without it the workers dispatch their parses through the
+# tunnel and hang whenever the chip is wedged.
+import jax
+jax.config.update("jax_platforms", "cpu")
 from pfbwtf_tpu.ops.parse import ParserParams
 from pfbwtf_tpu.parallel.multihost import init_distributed, multihost_parse
 
@@ -37,6 +43,7 @@ _WORKER_UNION = r"""
 import os, sys
 sys.path.insert(0, os.environ["PFBWT_REPO"])
 import jax
+jax.config.update("jax_platforms", "cpu")  # env knob ignored by axon plugin
 from pfbwtf_tpu.ops.parse import ParserParams
 from pfbwtf_tpu.parallel.multihost import (
     init_distributed, multihost_union_parse)
