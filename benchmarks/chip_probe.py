@@ -416,6 +416,78 @@ def main():
         t(f"emission fan-out scatter+cummax+gather (n={total_bx})",
           lambda: int(np.asarray(fo_j(dcnt))))
 
+        # candidate: merge-sort fan-out — concat (first[s]*2 | s-marker)
+        # with (e*2+1 | slot), ONE i32 kv sort + cummax replaces the
+        # nsuf_b-update scatter (TPU scatters ~100 ns/update)
+        def _fanout_merge(counts):
+            m = nsuf_bx + total_bx
+            first = jnp.concatenate(
+                (jnp.zeros(1, it32), jnp.cumsum(counts)[:-1]))
+            key = jnp.concatenate(
+                (first * 2, jnp.arange(total_bx, dtype=it32) * 2 + 1))
+            val = jnp.concatenate(
+                (jnp.arange(nsuf_bx, dtype=it32) + 1,
+                 jnp.zeros(total_bx, it32)))
+            key_s, val_s = jax.lax.sort((key, val), num_keys=1)
+            run = jax.lax.cummax(val_s)
+            # slot lanes in sorted order are already in e order; compact
+            from pfbwtf_tpu.ops.suffix import compact_indices_jax
+            slot_pos = compact_indices_jax(
+                (key_s & 1) == 1, total_bx, fill=0)
+            E = jnp.clip(run[slot_pos] - 1, 0, nsuf_bx - 1)
+            within = jnp.arange(total_bx, dtype=it32) - first[E]
+            return (E[:8] + within[:8]).sum()
+
+        fm_j = jax.jit(_fanout_merge)
+        t(f"emission fan-out merge-sort (n={total_bx})",
+          lambda: int(np.asarray(fm_j(dcnt))))
+
+        # scatter alone at this shape (nsuf_b updates into total_b lanes)
+        sc2_j = jax.jit(lambda c: jnp.zeros(total_bx, it32).at[
+            jnp.where(c > 0,
+                      jnp.concatenate((jnp.zeros(1, it32),
+                                       jnp.cumsum(c)[:-1])),
+                      it32(total_bx))].set(
+            jnp.arange(nsuf_bx, dtype=it32) + 1,
+            unique_indices=True, mode="drop")[:8].sum())
+        t(f"scatter alone ({nsuf_bx} updates into {total_bx})",
+          lambda: int(np.asarray(sc2_j(dcnt))))
+
+        # cummax alone at total_b
+        cm2_j = jax.jit(lambda c: jax.lax.cummax(
+            jnp.zeros(total_bx, it32).at[0].set(1) + c[0] * 0)[:8].sum())
+        t(f"cummax i32 alone (n={total_bx})",
+          lambda: int(np.asarray(cm2_j(dcnt))))
+
+        # 5-col row gather at total_b from an nsuf_b table (the S[E] form)
+        Sx = jax.device_put(np.zeros((nsuf_bx, 5), np.int32))
+        Ex = jax.device_put(np.random.default_rng(17).integers(
+            0, nsuf_bx, size=total_bx).astype(np.int32))
+        rg_j = jax.jit(lambda S, E: S[E][:8, :].sum())
+        t(f"5-col row gather (n={total_bx} from {nsuf_bx})",
+          lambda: int(np.asarray(rg_j(Sx, Ex))))
+
+        # 1-col gather at total_b (the ilist[slot] form)
+        il = jax.device_put(np.zeros(nph_b + 1, np.int32))
+        g1_j = jax.jit(lambda il, E: il[jnp.clip(E, 0, nph_b)][:8].sum())
+        t(f"1-col gather (n={total_bx} from {nph_b + 1})",
+          lambda: int(np.asarray(g1_j(il, Ex))))
+
+        # the final 4-operand emission sort at total_b (i64 key + 3 i32)
+        rng5 = np.random.default_rng(19)
+        k64 = jax.device_put(rng5.integers(
+            0, 1 << 45, size=total_bx).astype(np.int64))
+        v1 = jax.device_put(rng5.integers(
+            0, 1 << 20, size=total_bx).astype(np.int32))
+        s4_j = jax.jit(lambda k, a: jax.lax.sort(
+            (k, a, a, a), num_keys=1)[1][:8].sum())
+        t(f"final sort i64 key + 3 i32 values (n={total_bx})",
+          lambda: int(np.asarray(s4_j(k64, v1))))
+        s2_j = jax.jit(lambda k, a: jax.lax.sort(
+            (k, a, a), num_keys=1)[1][:8].sum())
+        t(f"final sort i64 key + 2 i32 values (n={total_bx})",
+          lambda: int(np.asarray(s2_j(k64, v1))))
+
     # ---------------- emission sort shapes ----------------
     if "emission" in pieces:
         rng = np.random.default_rng(3)

@@ -87,7 +87,7 @@ def dict_sort_part(dict_flat, w: int, impl: str = "lax"):
 def assemble_core(
     dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int, impl: str = "lax",
-    sorted_state=None, seg_start=None,
+    sorted_state=None, seg_start=None, fanout: str = "scatter",
 ):
     """Traceable emission-sort assembly body — callable standalone (below)
     or inlined into the fused whole-pipeline program (ops/fused.py).
@@ -134,18 +134,35 @@ def assemble_core(
         seg_start = seg_start.astype(it)
     counts = jnp.where(suf_valid, occs_n[u], it(0))
     # emission fan-out WITHOUT jnp.repeat (measured ~0.6 s per repeat over
-    # total_b at 16 MB): scatter suffix ids at their segments' first
-    # emission slots (strictly increasing across count>0 segments, so the
-    # scatter is collision-free) and forward-fill with a native cummax
+    # total_b at 16 MB).  Two engines (suffix.fanout_impl):
+    #   scatter  suffix ids scattered at their segments' first emission
+    #            slots (strictly increasing across count>0 segments, so
+    #            collision-free) + forward-fill cummax
+    #   merge    marker lanes (key first[s]*2, value s+1) merged with slot
+    #            lanes (key e*2+1) by ONE i32 kv-sort; cummax carries the
+    #            owning suffix onto each slot (max id among markers with
+    #            first <= e is exactly the emitter covering e); slot lanes
+    #            compact back to e order.  No scatter (~100 ns/update on
+    #            TPU), at the price of a 2x-length sort + compaction.
     first = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum(counts)[:-1]))
     eidx = jnp.arange(total_b, dtype=it)
-    mark = (
-        jnp.zeros(total_b, it)
-        .at[jnp.where(counts > 0, first, it(total_b))]
-        .set(jnp.arange(nsuf_b, dtype=it) + 1, unique_indices=True,
-             mode="drop")
-    )
-    E_suffix = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_b - 1)
+    if fanout == "merge" and nsuf_b + total_b < 2**30:
+        mkey = jnp.concatenate((first * 2, eidx * 2 + it(1)))
+        mval = jnp.concatenate(
+            (jnp.arange(nsuf_b, dtype=it) + 1, jnp.zeros(total_b, it))
+        )
+        mkey_s, mval_s = jax.lax.sort((mkey, mval), num_keys=1)
+        run = jax.lax.cummax(mval_s)
+        slot_pos = compact_indices_jax((mkey_s & 1) == 1, total_b, fill=0)
+        E_suffix = jnp.clip(run[slot_pos] - 1, 0, nsuf_b - 1)
+    else:
+        mark = (
+            jnp.zeros(total_b, it)
+            .at[jnp.where(counts > 0, first, it(total_b))]
+            .set(jnp.arange(nsuf_b, dtype=it) + 1, unique_indices=True,
+                 mode="drop")
+        )
+        E_suffix = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_b - 1)
     # TPU gathers are row-latency-bound: EVERYTHING a lane needs from its
     # suffix — emission base, ilist segment, group id, suffix length, and
     # the folded dict-side facts (is the position a word start? which
@@ -218,7 +235,7 @@ def assemble_core(
 
 
 _assemble_device = partial(
-    jax.jit, static_argnames=("w", "nsuf_b", "total_b", "impl")
+    jax.jit, static_argnames=("w", "nsuf_b", "total_b", "impl", "fanout")
 )(assemble_core)
 
 
@@ -256,6 +273,8 @@ def assemble_bwt_jax(
         out[: a.shape[0]] = a
         return out
 
+    from .suffix import fanout_impl
+
     bwtc, sa_vals = _assemble_device(
         jnp.asarray(pad(dict_flat, D_b)),
         jnp.asarray(pad(occs, dwords_b)),
@@ -268,6 +287,7 @@ def assemble_bwt_jax(
         nsuf_b,
         total_b,
         sort_impl(),
+        fanout=fanout_impl(),
     )
     bwtc = np.asarray(bwtc)[:total]
     run_start = np.empty(total, dtype=bool)

@@ -232,6 +232,7 @@ def _final_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
     nphrases, D, dict_total, nsuf_true, total_true,
     w: int, dict_b: int, nsuf_b: int, total_b: int, impl: str = "lax",
+    fanout: str = "scatter",
 ):
     import jax.numpy as jnp
 
@@ -318,7 +319,7 @@ def _final_core(
     bwtc, sa_vals = assemble_core(
         dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
         w, nsuf_b, total_b, impl=impl, sorted_state=ss,
-        seg_start=seg_prov,
+        seg_start=seg_prov, fanout=fanout,
     )
     checksum = jnp.sum(bwtc.astype(jnp.uint64)) + jnp.sum(sa_vals)
     return bwtc, sa_vals, checksum
@@ -394,14 +395,14 @@ def pfbwt_fused_device(
     nsuf_b = _bucket(nsuf)
     total_b = _bucket(total)
 
-    from .suffix import sort_impl
+    from .suffix import fanout_impl, sort_impl
 
-    key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl())
+    key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl(), fanout_impl())
     if key3 not in _final_jits:
         _final_jits[key3] = jax.jit(
             partial(
                 _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
-                total_b=total_b, impl=sort_impl(),
+                total_b=total_b, impl=sort_impl(), fanout=fanout_impl(),
             )
         )
     bwt_d, sa_d, checksum_d = _final_jits[key3](

@@ -36,6 +36,14 @@ def sort_impl() -> str:
     Read at TRACE time — set PFBWT_SORT_IMPL before the first jitted call."""
     return os.environ.get("PFBWT_SORT_IMPL", "lax").lower()
 
+
+def fanout_impl() -> str:
+    """Emission fan-out engine: ``scatter`` (nsuf-update scatter + cummax;
+    TPU scatters run ~100 ns/update) or ``merge`` (one i32 kv-sort of the
+    concatenated marker/slot keys + cummax + compaction — no scatter).
+    Read at TRACE time, like sort_impl."""
+    return os.environ.get("PFBWT_FANOUT", "scatter").lower()
+
 # -- numpy reference path ----------------------------------------------------
 
 

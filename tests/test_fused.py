@@ -107,3 +107,40 @@ def test_fused_nofetch_checksum():
     assert got_ck == int(want.bwt.astype(np.uint64).sum())
     # sa_d differs from want.sa only at index 0 (host writes n there)
     assert np.array_equal(sa_got[1:], want.sa[1:])
+
+
+def test_fused_merge_fanout(monkeypatch):
+    """PFBWT_FANOUT=merge (sort-based emission fan-out, no scatter) is
+    byte-identical to the default scatter engine, including zero-count
+    corner shapes (duplicate phrases -> many equal-first markers)."""
+    monkeypatch.setenv("PFBWT_FANOUT", "merge")
+    rng = np.random.default_rng(21)
+    seq = rng.choice(ACGT, size=6000)
+    _check([("s", seq)], w=4, p=10)
+    unit = rng.choice(ACGT, size=700)
+    rep = np.tile(unit, 10)
+    muts = rng.integers(0, rep.size, size=25)
+    rep[muts] = ACGT[rng.integers(0, 4, size=25)]
+    _check([("r", rep)], w=4, p=12)
+
+
+def test_assemble_merge_fanout(monkeypatch):
+    """assemble_bwt_jax with the merge fan-out equals the host assembly."""
+    monkeypatch.setenv("PFBWT_FANOUT", "merge")
+    from pfbwtf_tpu.ops.bwt_jax import assemble_bwt_jax
+
+    rng = np.random.default_rng(22)
+    seq = rng.choice(ACGT, size=5000)
+    params = ParserParams(w=4, p=9, get_sai=True)
+    res = parse_records([("s", seq)], params)
+    pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=True)
+    args = (
+        res.dict_flat(), 4, res.occs.astype(np.int64), pb.bwlast,
+        pb.ilist, pb.bwsai, res.n,
+    )
+    want = assemble_bwt(*args, want_sa=True, want_rssa=True)
+    got = assemble_bwt_jax(*args, want_sa=True, want_rssa=True)
+    assert got.bwt.tobytes() == want.bwt.tobytes()
+    assert np.array_equal(got.sa, want.sa)
+    assert np.array_equal(got.ssa, want.ssa)
+    assert np.array_equal(got.esa, want.esa)
