@@ -200,9 +200,12 @@ def assemble_core(
         KB = int(np.ceil(np.log2(m_ilist + 2)))
         key = (rows[:, 2].astype(jnp.int64) << KB) | E_j.astype(jnp.int64)
         key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
-        _, j_ord, ls_ord, fl_ord = jax.lax.sort(
-            (key, E_j, rows[:, 3], rows[:, 4]), num_keys=1
+        # j rides in the key's low KB bits — no separate sort operand
+        # (invalid lanes decode past m_ilist; the P3 gather clips them)
+        key_ord, ls_ord, fl_ord = jax.lax.sort(
+            (key, rows[:, 3], rows[:, 4]), num_keys=1
         )
+        j_ord = (key_ord & jnp.int64((1 << KB) - 1)).astype(it)
     whole = (fl_ord >> it(8)) != 0
     pch = fl_ord & it(255)
     lo = jax.lax.bitcast_convert_type(

@@ -283,9 +283,11 @@ def _chunk_core(
         jnp.int64
     )
     key = jnp.where(e_valid, key, _I64MAX)
-    _, j_ord, ls_ord, fl_ord = jax.lax.sort(
-        (key, E_j, rows[:, 3], rows[:, 4]), num_keys=1
+    # j rides in the key's low KB bits — no separate sort operand
+    key_ord, ls_ord, fl_ord = jax.lax.sort(
+        (key, rows[:, 3], rows[:, 4]), num_keys=1
     )
+    j_ord = (key_ord & jnp.int64((1 << KB) - 1)).astype(it)
     lo = jax.lax.bitcast_convert_type(
         (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
     )
