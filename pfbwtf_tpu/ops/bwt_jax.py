@@ -164,18 +164,22 @@ def assemble_core(
         )
         E_suffix = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_b - 1)
     # TPU gathers are row-latency-bound: EVERYTHING a lane needs from its
-    # suffix — emission base, ilist segment, group id, suffix length, and
-    # the folded dict-side facts (is the position a word start? which
-    # char precedes it?) — comes from ONE 5-column row gather; the final
-    # sort then CARRIES the per-lane values so no post-sort permutation
-    # gathers at total_b scale remain except the ilist-side row.
+    # suffix — emission base, ilist segment, group id, and the folded
+    # dict-side facts (is the position a word start? which char precedes
+    # it?) — comes from ONE 4-column row gather.  Suffix LENGTH is a
+    # function of gid alone (group equality includes length equality), so
+    # it is recovered post-sort from an nsuf_b-sized table instead of
+    # riding through the sort.
     prev_sep = jnp.concatenate(
         (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
     )
     prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
     sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
     flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
-    S = jnp.stack((first, seg_start[u], gid, ls, flags), axis=1)
+    ls_tab = jnp.zeros(nsuf_b, it).at[gid].max(
+        jnp.where(suf_valid, ls, it(0)), mode="promise_in_bounds"
+    )
+    S = jnp.stack((first, seg_start[u], gid, flags), axis=1)
     rows = S[E_suffix]
     within = eidx - rows[:, 0]
     e_valid = eidx < it(total_true)
@@ -183,6 +187,8 @@ def assemble_core(
     slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)
     E_j = ilist.astype(it)[slot]
     # final order: (gid, j); invalid emissions sort last
+    KB = int(np.ceil(np.log2(m_ilist + 2)))
+    nsuf_bits = int(np.ceil(np.log2(nsuf_b + 2)))
     if impl == "radix" and total_b < 2**31 - 2:
         from .radix import key_bits, radix_argsort_pair
 
@@ -194,16 +200,32 @@ def assemble_core(
             nbits_lo=key_bits(int(m_ilist)),
         )
         j_ord = E_j[order]
-        ls_ord = rows[:, 3][order]
-        fl_ord = rows[:, 4][order]
+        gid_ord = rows[:, 2][order]
+        ls_ord = ls_tab[jnp.clip(gid_ord, 0, nsuf_b - 1)]
+        fl_ord = rows[:, 3][order]
+    elif nsuf_bits + KB + 9 <= 63:
+        # SINGLE-OPERAND sort: (gid, j) pairs are unique per lane (one
+        # word's ilist positions are distinct; different words' are
+        # disjoint), so the 9 flag bits ride BELOW j without affecting
+        # order, and gid/j/flags all decode from the sorted key.
+        key = (
+            (rows[:, 2].astype(jnp.int64) << (KB + 9))
+            | (E_j.astype(jnp.int64) << 9)
+            | rows[:, 3].astype(jnp.int64)
+        )
+        key_ord = jax.lax.sort(
+            jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
+        )
+        fl_ord = (key_ord & 511).astype(it)
+        j_ord = ((key_ord >> 9) & jnp.int64((1 << KB) - 1)).astype(it)
+        gid_ord = (key_ord >> (KB + 9)).astype(it)
+        ls_ord = ls_tab[jnp.clip(gid_ord, 0, nsuf_b - 1)]
     else:
-        KB = int(np.ceil(np.log2(m_ilist + 2)))
         key = (rows[:, 2].astype(jnp.int64) << KB) | E_j.astype(jnp.int64)
         key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
-        # j rides in the key's low KB bits — no separate sort operand
-        # (invalid lanes decode past m_ilist; the P3 gather clips them)
+        ls_lane = ls_tab[jnp.clip(rows[:, 2], 0, nsuf_b - 1)]
         key_ord, ls_ord, fl_ord = jax.lax.sort(
-            (key, rows[:, 3], rows[:, 4]), num_keys=1
+            (key, ls_lane, rows[:, 3]), num_keys=1
         )
         j_ord = (key_ord & jnp.int64((1 << KB) - 1)).astype(it)
     whole = (fl_ord >> it(8)) != 0

@@ -273,21 +273,44 @@ def _chunk_core(
     )
     E_local = jnp.clip(jax.lax.cummax(mark) - 1, 0, chunk_b - 1)
     e_valid = l < m_true.astype(it)
-    S = jnp.stack((first_local, segu_w, gid_w, ls_w, flags_w), axis=1)
+    # suffix length is a function of gid (group equality includes length
+    # equality): recover it post-sort from a chunk-local table.  Local
+    # gids are < chunk_b (every group in the chunk has >= 1 emission and
+    # the chunk holds m_true <= chunk_b emissions).
+    lgid = gid_w - gid_w[0]
+    ls_ltab = (
+        jnp.zeros(chunk_b, it)
+        .at[jnp.where(win_valid & (lgid < chunk_b), lgid, it(chunk_b))]
+        .max(jnp.where(win_valid, ls_w, it(0)), mode="drop")
+    )
+    S = jnp.stack((first_local, segu_w, gid_w, flags_w), axis=1)
     rows = S[E_local]
     within = l - rows[:, 0]
     slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)
     E_j = ilist.astype(it)[slot]
     KB = int(np.ceil(np.log2(m_ilist + 2)))
-    key = ((rows[:, 2] - gid_w[0]).astype(jnp.int64) << KB) | E_j.astype(
-        jnp.int64
-    )
-    key = jnp.where(e_valid, key, _I64MAX)
-    # j rides in the key's low KB bits — no separate sort operand
-    key_ord, ls_ord, fl_ord = jax.lax.sort(
-        (key, rows[:, 3], rows[:, 4]), num_keys=1
-    )
-    j_ord = (key_ord & jnp.int64((1 << KB) - 1)).astype(it)
+    cb_bits = int(np.ceil(np.log2(chunk_b + 2)))
+    lg64 = (rows[:, 2] - gid_w[0]).astype(jnp.int64)
+    if cb_bits + KB + 9 <= 63:
+        # SINGLE-OPERAND sort: (gid, j) unique per lane, so the 9 flag
+        # bits ride below j without affecting order; gid/j/flags decode
+        # from the sorted key.
+        key = (lg64 << (KB + 9)) | (E_j.astype(jnp.int64) << 9) | rows[
+            :, 3
+        ].astype(jnp.int64)
+        key_ord = jax.lax.sort(jnp.where(e_valid, key, _I64MAX))
+        fl_ord = (key_ord & 511).astype(it)
+        j_ord = ((key_ord >> 9) & jnp.int64((1 << KB) - 1)).astype(it)
+        gid_ord = (key_ord >> (KB + 9)).astype(it)
+        ls_ord = ls_ltab[jnp.clip(gid_ord, 0, chunk_b - 1)]
+    else:
+        key = (lg64 << KB) | E_j.astype(jnp.int64)
+        key = jnp.where(e_valid, key, _I64MAX)
+        ls_lane = ls_ltab[jnp.clip(rows[:, 2] - gid_w[0], 0, chunk_b - 1)]
+        key_ord, ls_ord, fl_ord = jax.lax.sort(
+            (key, ls_lane, rows[:, 3]), num_keys=1
+        )
+        j_ord = (key_ord & jnp.int64((1 << KB) - 1)).astype(it)
     lo = jax.lax.bitcast_convert_type(
         (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
     )
