@@ -69,9 +69,9 @@ def main():
     dict_b = fused._bucket(dict_total)
     nsuf_b = fused._bucket(nsuf)
     total_b = fused._bucket(total)
-    from pfbwtf_tpu.ops.suffix import sort_impl
+    from pfbwtf_tpu.ops.suffix import fanout_impl, sort_impl
 
-    key3 = (W, dict_b, nsuf_b, total_b, nph_b, sort_impl())
+    key3 = (W, dict_b, nsuf_b, total_b, nph_b, sort_impl(), fanout_impl())
     out3 = t("J3 assemble dispatch (async)", lambda: fused._final_jits[key3](
         Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
         jnp.int64(ncuts + 1), jnp.int64(D), jnp.int64(dict_total),
