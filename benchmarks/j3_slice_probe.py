@@ -236,13 +236,18 @@ def main():
         return bwlast, bwsai, ilist, fl_ord, j_ord, ls_ord
 
     def chk(*arrs):
-        acc = jnp.uint64(0)
+        # FULL-array reductions: a [:8] slice lets XLA slice gathers /
+        # elementwise chains down to 8 lanes (observed — increments then
+        # attribute work to the wrong slice); full sums force every lane
+        # while costing only a cheap reduction
+        acc = jnp.int64(0)
         for a in arrs:
             if a.dtype == jnp.uint64:
+                acc = acc + jnp.sum(a.astype(jnp.int64))
+            elif a.dtype == jnp.int64:
                 acc = acc + jnp.sum(a)
             else:
-                acc = acc + jnp.sum(
-                    a.astype(jnp.int32).astype(jnp.uint64)[:8])
+                acc = acc + jnp.sum(a.astype(jnp.int32)).astype(jnp.int64)
         return acc
 
     D64 = jnp.int64(D)

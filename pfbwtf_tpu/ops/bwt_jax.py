@@ -84,6 +84,41 @@ def dict_sort_part(dict_flat, w: int, impl: str = "lax"):
     return sa_all, C1, C2, suf_len, word_id
 
 
+def _emit_decode(fl_ord, j_ord, ls_ord, bwlast, bwsai, m_ilist, it):
+    """Shared emission tail: per-lane flags/j/suffix-length in FINAL order
+    -> BWT chars + SA samples, via one 3-column row gather from the
+    parse-BWT table (bwlast, sai lo/hi)."""
+    whole = (fl_ord >> it(8)) != 0
+    pch = fl_ord & it(255)
+    lo = jax.lax.bitcast_convert_type(
+        (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
+    )
+    hi32 = jax.lax.bitcast_convert_type(
+        (bwsai >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32
+    )
+    P3 = jnp.stack((bwlast.astype(jnp.int32), lo, hi32), axis=1)
+    r3 = P3[jnp.clip(j_ord, 0, m_ilist - 1)]
+    # EOS rule, content-based (word order independent): among KEPT
+    # suffixes, a preceding Dollar can only be T's leading sentinel (the
+    # trailing-Dollar run's suffixes are all <= w long), and the char
+    # "before" it is the terminator 0x00
+    bwtc = jnp.where(
+        whole,
+        r3[:, 0].astype(jnp.uint8),
+        jnp.where(pch == it(Dollar), jnp.uint8(0), pch.astype(jnp.uint8)),
+    )
+    sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
+        jnp.uint64
+    ) | (
+        jax.lax.bitcast_convert_type(r3[:, 2], jnp.uint32).astype(
+            jnp.uint64
+        )
+        << jnp.uint64(32)
+    )
+    sa_vals = sai_ord - ls_ord.astype(jnp.uint64)
+    return bwtc, sa_vals
+
+
 def assemble_core(
     dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int, impl: str = "lax",
@@ -134,7 +169,15 @@ def assemble_core(
         seg_start = seg_start.astype(it)
     counts = jnp.where(suf_valid, occs_n[u], it(0))
     # emission fan-out WITHOUT jnp.repeat (measured ~0.6 s per repeat over
-    # total_b at 16 MB).  Two engines (suffix.fanout_impl):
+    # total_b at 16 MB).  Three engines (suffix.fanout_impl):
+    #   fill     per-lane values built DIRECTLY: every quantity a lane
+    #            needs (gid, flags, ilist-slot base) is constant across
+    #            its suffix's emission run, so scatter the per-emitter
+    #            DIFFS at the runs' first slots and integrate with one
+    #            native-i32 cumsum each — no E_suffix indirection and no
+    #            (total_b x k) row gather from the nsuf table at all
+    #            (that gather measured 8.6 s in-program at 64 MB vs
+    #            1.1 s standalone).
     #   scatter  suffix ids scattered at their segments' first emission
     #            slots (strictly increasing across count>0 segments, so
     #            collision-free) + forward-fill cummax
@@ -142,10 +185,63 @@ def assemble_core(
     #            lanes (key e*2+1) by ONE i32 kv-sort; cummax carries the
     #            owning suffix onto each slot (max id among markers with
     #            first <= e is exactly the emitter covering e); slot lanes
-    #            compact back to e order.  No scatter (~100 ns/update on
-    #            TPU), at the price of a 2x-length sort + compaction.
+    #            compact back to e order.  No scatter, at the price of a
+    #            2x-length sort + compaction (measured LOSER at 64 MB:
+    #            3.1 s vs 0.84 s scatter).
     first = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum(counts)[:-1]))
     eidx = jnp.arange(total_b, dtype=it)
+    prev_sep = jnp.concatenate(
+        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
+    )
+    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
+    flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
+    ls_tab = jnp.zeros(nsuf_b, it).at[gid].max(
+        jnp.where(suf_valid, ls, it(0)), mode="promise_in_bounds"
+    )
+    m_ilist = ilist.shape[0]
+    e_valid = eidx < it(total_true)
+    KB = int(np.ceil(np.log2(m_ilist + 2)))
+    nsuf_bits = int(np.ceil(np.log2(nsuf_b + 2)))
+    if fanout == "fill" and nsuf_bits + KB + 9 <= 63:
+        emit = counts > 0
+        sidx = jnp.arange(nsuf_b, dtype=it)
+        pe_ex = jnp.concatenate(
+            (
+                jnp.full(1, -1, it),
+                jax.lax.cummax(jnp.where(emit, sidx, it(-1)))[:-1],
+            )
+        )  # index of the last emitter strictly before s
+
+        def fill_pc(v):
+            pv = jnp.where(
+                pe_ex >= 0, v[jnp.clip(pe_ex, 0, nsuf_b - 1)], it(0)
+            )
+            d = jnp.zeros(total_b, it).at[
+                jnp.where(emit, first, it(total_b))
+            ].add(jnp.where(emit, v - pv, it(0)), mode="drop")
+            return jnp.cumsum(d)
+
+        gid_lane = fill_pc(gid)
+        flags_lane = fill_pc(flags)
+        base_lane = fill_pc(seg_start[u] - first)
+        slot = jnp.clip(eidx + base_lane, 0, m_ilist - 1)
+        E_j = ilist.astype(it)[slot]
+        key = (
+            (gid_lane.astype(jnp.int64) << (KB + 9))
+            | (E_j.astype(jnp.int64) << 9)
+            | flags_lane.astype(jnp.int64)
+        )
+        key_ord = jax.lax.sort(
+            jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
+        )
+        fl_ord = (key_ord & 511).astype(it)
+        j_ord = ((key_ord >> 9) & jnp.int64((1 << KB) - 1)).astype(it)
+        gid_ord = (key_ord >> (KB + 9)).astype(it)
+        ls_ord = ls_tab[jnp.clip(gid_ord, 0, nsuf_b - 1)]
+        return _emit_decode(
+            fl_ord, j_ord, ls_ord, bwlast, bwsai, m_ilist, it
+        )
     if fanout == "merge" and nsuf_b + total_b < 2**30:
         mkey = jnp.concatenate((first * 2, eidx * 2 + it(1)))
         mval = jnp.concatenate(
@@ -163,32 +259,15 @@ def assemble_core(
                  mode="drop")
         )
         E_suffix = jnp.clip(jax.lax.cummax(mark) - 1, 0, nsuf_b - 1)
-    # TPU gathers are row-latency-bound: EVERYTHING a lane needs from its
-    # suffix — emission base, ilist segment, group id, and the folded
-    # dict-side facts (is the position a word start? which char precedes
-    # it?) — comes from ONE 4-column row gather.  Suffix LENGTH is a
-    # function of gid alone (group equality includes length equality), so
-    # it is recovered post-sort from an nsuf_b-sized table instead of
-    # riding through the sort.
-    prev_sep = jnp.concatenate(
-        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
-    )
-    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
-    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
-    flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
-    ls_tab = jnp.zeros(nsuf_b, it).at[gid].max(
-        jnp.where(suf_valid, ls, it(0)), mode="promise_in_bounds"
-    )
+    # legacy engines: one 4-column row gather per lane from the nsuf
+    # table (emission base, ilist segment, group id, flags); suffix
+    # length recovered post-sort from ls_tab as in the fill engine
     S = jnp.stack((first, seg_start[u], gid, flags), axis=1)
     rows = S[E_suffix]
     within = eidx - rows[:, 0]
-    e_valid = eidx < it(total_true)
-    m_ilist = ilist.shape[0]
     slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)
     E_j = ilist.astype(it)[slot]
     # final order: (gid, j); invalid emissions sort last
-    KB = int(np.ceil(np.log2(m_ilist + 2)))
-    nsuf_bits = int(np.ceil(np.log2(nsuf_b + 2)))
     if impl == "radix" and total_b < 2**31 - 2:
         from .radix import key_bits, radix_argsort_pair
 
@@ -228,35 +307,7 @@ def assemble_core(
             (key, ls_lane, rows[:, 3]), num_keys=1
         )
         j_ord = (key_ord & jnp.int64((1 << KB) - 1)).astype(it)
-    whole = (fl_ord >> it(8)) != 0
-    pch = fl_ord & it(255)
-    lo = jax.lax.bitcast_convert_type(
-        (bwsai & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32
-    )
-    hi32 = jax.lax.bitcast_convert_type(
-        (bwsai >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32
-    )
-    P3 = jnp.stack((bwlast.astype(jnp.int32), lo, hi32), axis=1)
-    r3 = P3[jnp.clip(j_ord, 0, m_ilist - 1)]
-    # EOS rule, content-based (word order independent): among KEPT
-    # suffixes, a preceding Dollar can only be T's leading sentinel (the
-    # trailing-Dollar run's suffixes are all <= w long), and the char
-    # "before" it is the terminator 0x00
-    bwtc = jnp.where(
-        whole,
-        r3[:, 0].astype(jnp.uint8),
-        jnp.where(pch == it(Dollar), jnp.uint8(0), pch.astype(jnp.uint8)),
-    )
-    sai_ord = jax.lax.bitcast_convert_type(r3[:, 1], jnp.uint32).astype(
-        jnp.uint64
-    ) | (
-        jax.lax.bitcast_convert_type(r3[:, 2], jnp.uint32).astype(
-            jnp.uint64
-        )
-        << jnp.uint64(32)
-    )
-    sa_vals = sai_ord - ls_ord.astype(jnp.uint64)
-    return bwtc, sa_vals
+    return _emit_decode(fl_ord, j_ord, ls_ord, bwlast, bwsai, m_ilist, it)
 
 
 _assemble_device = partial(

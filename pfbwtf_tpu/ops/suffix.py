@@ -38,9 +38,12 @@ def sort_impl() -> str:
 
 
 def fanout_impl() -> str:
-    """Emission fan-out engine: ``scatter`` (nsuf-update scatter + cummax;
-    TPU scatters run ~100 ns/update) or ``merge`` (one i32 kv-sort of the
-    concatenated marker/slot keys + cummax + compaction — no scatter).
+    """Emission fan-out engine: ``fill`` (piecewise-constant per-lane
+    values by scattering per-emitter diffs at run heads + native-i32
+    cumsums — no E_suffix indirection and no row gather from the nsuf
+    table), ``scatter`` (suffix-id scatter + cummax then a 4-col row
+    gather), or ``merge`` (one i32 kv-sort of concatenated marker/slot
+    keys + cummax + compaction; measured loser at 64 MB on v5e).
     Read at TRACE time, like sort_impl."""
     return os.environ.get("PFBWT_FANOUT", "scatter").lower()
 

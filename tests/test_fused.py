@@ -109,11 +109,13 @@ def test_fused_nofetch_checksum():
     assert np.array_equal(sa_got[1:], want.sa[1:])
 
 
-def test_fused_merge_fanout(monkeypatch):
-    """PFBWT_FANOUT=merge (sort-based emission fan-out, no scatter) is
+@pytest.mark.parametrize("engine", ["merge", "fill"])
+def test_fused_alt_fanout(engine, monkeypatch):
+    """Alternate emission engines (merge: sort-based fan-out; fill:
+    piecewise-constant per-lane diffs + cumsum, no row gather) are
     byte-identical to the default scatter engine, including zero-count
     corner shapes (duplicate phrases -> many equal-first markers)."""
-    monkeypatch.setenv("PFBWT_FANOUT", "merge")
+    monkeypatch.setenv("PFBWT_FANOUT", engine)
     rng = np.random.default_rng(21)
     seq = rng.choice(ACGT, size=6000)
     _check([("s", seq)], w=4, p=10)
@@ -124,9 +126,11 @@ def test_fused_merge_fanout(monkeypatch):
     _check([("r", rep)], w=4, p=12)
 
 
-def test_assemble_merge_fanout(monkeypatch):
-    """assemble_bwt_jax with the merge fan-out equals the host assembly."""
-    monkeypatch.setenv("PFBWT_FANOUT", "merge")
+@pytest.mark.parametrize("engine", ["merge", "fill"])
+def test_assemble_alt_fanout(engine, monkeypatch):
+    """assemble_bwt_jax with alternate fan-out engines equals the host
+    assembly."""
+    monkeypatch.setenv("PFBWT_FANOUT", engine)
     from pfbwtf_tpu.ops.bwt_jax import assemble_bwt_jax
 
     rng = np.random.default_rng(22)
