@@ -1,19 +1,33 @@
 """Benchmark driver.  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Primary metric (PFBWT_BENCH_MODE=e2e, default): ON-CHIP END-TO-END
 pipeline throughput — chars in HBM -> .bwt + .sa in HBM via the fused
 program chain (ops/fused.py), on a pan-genome-style input (mutated copies
 of a base sequence: PFP's target workload).  vs_baseline = wall-clock
 ratio to the reference pfbwt-f64 binary running its full three stages on
-the same input (the BASELINE.md north-star definition).  The fused timing
-includes every dispatch and host sync (sizing scalars, bucket picks); the
-output arrays stay HBM-resident with a checksum fetch forcing completion —
-on this remote-tunnel rig D2H runs at ~4-10 MB/s, which no locally
-attached TPU exhibits, so fetching them would measure the tunnel.
+the same input (the BASELINE.md north-star definition, reference
+measurement hooks src/pfbwt-f.cpp:35-50).
+
+Budget-aware size ladder: the driver environment may start with a cold
+XLA cache (compiles through the remote tunnel take minutes), so instead
+of betting the whole budget on one size, the bench climbs
+PFBWT_BENCH_SIZES (default "16,64") and KEEPS the largest size that
+completed — a timeout at 64 MB still reports the finished 16 MB number
+instead of abandoning e2e for the scan metric.
+
+De-biased reporting: the fused timing includes every dispatch and host
+sync, but outputs stay HBM-resident (on this remote-tunnel rig D2H runs
+at ~4-10 MB/s — no locally attached TPU exhibits that, so fetching them
+would measure the tunnel, not the chip).  The reference binary, by
+contrast, pays for writing .bwt/.sa to disk.  The headline value/
+vs_baseline therefore ADD A MODELED device-to-host + write cost for the
+output bytes at PFBWT_D2H_GBPS (default 5 GB/s, conservative for a
+locally attached v5e host); the raw HBM-resident numbers are reported
+alongside as value_hbm / vs_baseline_hbm.
 
 PFBWT_BENCH_MODE=scan keeps round 1's scan-stage metric (on-device
-fori_loop, amortized dispatch).  On device failure/timeout the driver
+fori_loop, amortized dispatch).  On total device failure the driver
 falls back: e2e -> scan -> host pipeline vs reference binary.
 """
 
@@ -26,23 +40,28 @@ import time
 
 import numpy as np
 
-# 64 MB default: the fixed dispatch/H2D costs of the remote-tunnel rig
-# amortize and the reference binary is past its small-input sweet spot —
-# the realistic comparison point (recorded r3: 0.78x @16 MB, 0.98x @64).
-# The compile cache at /tmp/pfbwtf_tpu_xla_cache keeps warm runs ~90 s.
-SIZE_MB = int(os.environ.get("PFBWT_BENCH_MB", "64"))
 DEVICE_BUDGET_S = int(os.environ.get("PFBWT_BENCH_DEVICE_BUDGET", "900"))
 W, P = 10, 100
-CACHE = f"/tmp/pfbwtf_tpu_bench_{SIZE_MB}mb"
-# On-chip fori_loop count: amortizes the per-dispatch tunnel latency so
-# the metric reads the kernel rate, not the RPC rate (767 MB/s at 4,
-# 1029 at 16, 1134 at 64 on this chip; 32 is the knee)
+# Size ladder (MB).  16 MB first: its programs are the most likely to be
+# in the persistent compile cache and it completes in ~2 min even when
+# 64 MB would blow a cold budget.  The LAST completed size is reported.
+SIZES_MB = [
+    int(s)
+    for s in os.environ.get("PFBWT_BENCH_SIZES", "16,64").split(",")
+    if s.strip()
+]
+# On-chip fori_loop count for the scan fallback metric
 LOOP_ITERS = int(os.environ.get("PFBWT_BENCH_LOOP_ITERS", "32"))
-
+# Modeled local-host D2H + write rate for materializing outputs (GB/s)
+D2H_GBPS = float(os.environ.get("PFBWT_D2H_GBPS", "5"))
 
 MODE = os.environ.get("PFBWT_BENCH_MODE", "e2e").lower()
 PAN_COPIES = int(os.environ.get("PFBWT_BENCH_PAN_COPIES", "8"))
 PAN_SNP_RATE = float(os.environ.get("PFBWT_BENCH_PAN_SNP", "0.001"))
+
+
+def cache_prefix(size_mb: int) -> str:
+    return f"/tmp/pfbwtf_tpu_bench_{size_mb}mb"
 
 
 class _Timeout(Exception):
@@ -53,12 +72,13 @@ def _alarm(sig, frame):
     raise _Timeout()
 
 
-def make_input():
-    fasta = CACHE + ".fa"
-    codes_npy = CACHE + ".codes.npy"
+def make_input(size_mb: int):
+    cache = cache_prefix(size_mb)
+    fasta = cache + ".fa"
+    codes_npy = cache + ".codes.npy"
     if not (os.path.exists(fasta) and os.path.exists(codes_npy)):
         rng = np.random.default_rng(1234)
-        codes = rng.integers(0, 4, size=SIZE_MB << 20, dtype=np.uint8)
+        codes = rng.integers(0, 4, size=size_mb << 20, dtype=np.uint8)
         chars = np.frombuffer(b"ACGT", dtype=np.uint8)[codes]
         with open(fasta, "wb") as f:
             f.write(b">bench\n")
@@ -70,14 +90,14 @@ def make_input():
     return fasta, np.load(codes_npy)
 
 
-def make_pangenome_input():
+def make_pangenome_input(size_mb: int):
     """PAN_COPIES mutated copies of one base unit, one FASTA record each —
     the repetitive collection PFP is built for (dict ~ unit-sized)."""
-    fasta = CACHE + ".pan.fa"
+    fasta = cache_prefix(size_mb) + ".pan.fa"
     if not os.path.exists(fasta):
         rng = np.random.default_rng(4321)
         acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-        unit = acgt[rng.integers(0, 4, size=(SIZE_MB << 20) // PAN_COPIES)]
+        unit = acgt[rng.integers(0, 4, size=(size_mb << 20) // PAN_COPIES)]
         with open(fasta, "wb") as f:
             for i in range(PAN_COPIES):
                 hap = unit.copy()
@@ -146,45 +166,40 @@ def reference_tools():
         return None
 
 
-def bench_reference_parse(tools, fasta):
+def bench_reference_parse(tools, fasta, size_mb):
     t0 = time.perf_counter()
     subprocess.run(
-        [tools.parse64, fasta, CACHE + ".refp", str(W), str(P)],
+        [tools.parse64, fasta, cache_prefix(size_mb) + ".refp",
+         str(W), str(P)],
         check=True, capture_output=True,
     )
     return time.perf_counter() - t0
 
 
-def bench_reference_e2e(tools, fasta):
-    t0 = time.perf_counter()
-    subprocess.run(
-        [tools.pfbwt64, fasta, CACHE + ".refe", str(W), str(P), "1", "0"],
-        check=True, capture_output=True,
-    )
-    return time.perf_counter() - t0
-
-
-def bench_host_e2e(fasta):
+def bench_host_e2e(fasta, size_mb):
     os.environ["PFBWT_BACKEND"] = "numpy"
     from pfbwtf_tpu.ops.parse import ParserParams
     from pfbwtf_tpu.pipeline import PfbwtConfig, run_parser, run_pfbwt
 
+    cache = cache_prefix(size_mb)
+
     def once(tag):
         t0 = time.perf_counter()
         params = ParserParams(w=W, p=P, get_sai=True)
-        run_parser(fasta, CACHE + tag, params)
-        run_pfbwt(PfbwtConfig(prefix=CACHE + tag, w=W, sa=True))
+        run_parser(fasta, cache + tag, params)
+        run_pfbwt(PfbwtConfig(prefix=cache + tag, w=W, sa=True))
         return time.perf_counter() - t0
 
     once(".warm")  # allocator warm-up (first-touch pages are ~12MB/s here)
     return once(".mine")
 
 
-def bench_reference_e2e_pan(tools, fasta):
+def bench_reference_e2e_pan(tools, fasta, size_mb):
     """Reference pfbwt-f64 full run (parse + parse-BWT + final BWT + SA)."""
     t0 = time.perf_counter()
     subprocess.run(
-        [tools.pfbwt64, fasta, CACHE + ".refpan", str(W), str(P), "1", "0"],
+        [tools.pfbwt64, fasta, cache_prefix(size_mb) + ".refpan",
+         str(W), str(P), "1", "0"],
         check=True, capture_output=True,
     )
     return time.perf_counter() - t0
@@ -193,41 +208,79 @@ def bench_reference_e2e_pan(tools, fasta):
 def main():
     tools = reference_tools()
     signal.signal(signal.SIGALRM, _alarm)
+    deadline = time.monotonic() + DEVICE_BUDGET_S
 
     if MODE == "e2e":
-        pan = make_pangenome_input()
-        signal.alarm(DEVICE_BUDGET_S)
-        try:
-            ours_t, nbytes = bench_device_e2e(pan)
-            signal.alarm(0)
-            ref_t = bench_reference_e2e_pan(tools, pan) if tools else None
+        best = None  # (size_mb, ours_t, nbytes, fasta)
+        completed = []
+        for size_mb in SIZES_MB:
+            remaining = deadline - time.monotonic()
+            # reference run + JSON need headroom; don't start a size that
+            # can't plausibly finish
+            if remaining < 60:
+                break
+            try:
+                fasta = make_pangenome_input(size_mb)
+                signal.alarm(max(int(remaining), 1))
+                ours_t, nbytes = bench_device_e2e(fasta)
+                signal.alarm(0)
+                best = (size_mb, ours_t, nbytes, fasta)
+                completed.append(size_mb)
+            except (_Timeout, Exception) as e:  # noqa: BLE001
+                signal.alarm(0)
+                print(
+                    f"e2e size {size_mb} MB unavailable "
+                    f"({type(e).__name__}: {e})",
+                    file=sys.stderr,
+                )
+                break
+        if best is not None:
+            size_mb, ours_t, nbytes, fasta = best
+            ref_t = (
+                bench_reference_e2e_pan(tools, fasta, size_mb)
+                if tools
+                else None
+            )
+            # modeled local D2H+write for the outputs we keep in HBM
+            # (1B bwt + 8B sa per char); the reference's ref_t already
+            # includes its own disk writes
+            out_bytes = 9 * (nbytes + 1)
+            io_t = out_bytes / (D2H_GBPS * 1e9)
+            mat_t = ours_t + io_t
             print(
                 json.dumps(
                     {
                         "metric": "e2e_bwt_sa_throughput",
-                        "value": round(nbytes / ours_t / 1e6, 2),
+                        "value": round(nbytes / mat_t / 1e6, 2),
                         "unit": "MB/s/chip",
                         "vs_baseline": (
+                            round(ref_t / mat_t, 2) if ref_t else 0.0
+                        ),
+                        "value_hbm": round(nbytes / ours_t / 1e6, 2),
+                        "vs_baseline_hbm": (
                             round(ref_t / ours_t, 2) if ref_t else 0.0
                         ),
+                        "size_mb": size_mb,
+                        "sizes_completed": completed,
+                        "ref_seconds": round(ref_t, 2) if ref_t else None,
+                        "ours_seconds": round(ours_t, 2),
+                        "modeled_d2h_gbps": D2H_GBPS,
                     }
                 )
             )
             return
-        except (_Timeout, Exception) as e:  # noqa: BLE001
-            signal.alarm(0)
-            print(f"device e2e bench unavailable ({type(e).__name__}: {e}); "
-                  "falling back to scan metric", file=sys.stderr)
+        print("no e2e size completed; falling back to scan metric",
+              file=sys.stderr)
 
-    fasta, codes = make_input()
+    fasta, codes = make_input(16)
     nbytes = codes.size
 
-    # attempt the on-chip metric under a budget
-    signal.alarm(DEVICE_BUDGET_S)
+    # attempt the on-chip metric under the remaining budget
+    signal.alarm(max(int(deadline - time.monotonic()), 30))
     try:
         mbps = bench_device_scan(codes)
         signal.alarm(0)
-        ref_t = bench_reference_parse(tools, fasta) if tools else None
+        ref_t = bench_reference_parse(tools, fasta, 16) if tools else None
         ref_mbps = nbytes / ref_t / 1e6 if ref_t else None
         print(
             json.dumps(
@@ -235,7 +288,9 @@ def main():
                     "metric": "parse_scan_throughput",
                     "value": round(mbps, 2),
                     "unit": "MB/s/chip",
-                    "vs_baseline": round(mbps / ref_mbps, 2) if ref_mbps else 0.0,
+                    "vs_baseline": round(mbps / ref_mbps, 2)
+                    if ref_mbps
+                    else 0.0,
                 }
             )
         )
@@ -245,8 +300,8 @@ def main():
         print(f"device bench unavailable ({type(e).__name__}: {e}); "
               "falling back to host e2e", file=sys.stderr)
 
-    ours_t = bench_host_e2e(fasta)
-    ref_t = bench_reference_e2e(tools, fasta) if tools else None
+    ours_t = bench_host_e2e(fasta, 16)
+    ref_t = bench_reference_e2e_pan(tools, fasta, 16) if tools else None
     mbps = nbytes / ours_t / 1e6
     print(
         json.dumps(

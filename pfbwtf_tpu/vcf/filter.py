@@ -17,8 +17,10 @@ practically-used core of that language over per-site fields:
              combine elementwise (scalar broadcasts), matching the
              engine's per-element evaluation
   functions  MAX MIN SUM AVG MEAN MEDIAN STDEV COUNT ABS STRLEN ILEN
-  operators  == (=), !=, <, <=, >, >=, && (&), || (|), !, parentheses
-  literals   "strings", 'strings', numbers
+  operators  == (=), !=, <, <=, >, >=, && (&), || (|), !, parentheses,
+             ~ and !~ (regex match on strings/string vectors)
+  literals   "strings", 'strings', numbers, @file (whitespace-separated
+             value set loaded at compile time; ID=@ids.txt membership)
 
 POS is 1-based as in bcftools.  QUAL comparisons against a missing QUAL
 ('.') are false, matching htslib's missing-value semantics.  FILTER
@@ -40,7 +42,8 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<str>"[^"]*"|'[^']*')
-      | (?P<op><=|>=|==|!=|&&|\|\||[<>=!()&|+\-*/])
+      | (?P<file>@[^\s()&|!=<>~,]+)
+      | (?P<op><=|>=|==|!=|!~|&&|\|\||[<>=!()&|+\-*/~])
       | (?P<ident>[A-Za-z_][A-Za-z_0-9/]*)
     )""",
     re.VERBOSE,
@@ -122,10 +125,12 @@ def _format_lookup(tag: str, rec):
     if the store was built without store_format (raw FORMAT columns are
     opt-in — panel-scale memory)."""
     fmt = getattr(rec, "fmt", ".") or "."
+    if fmt == "-":  # store retained FORMAT but this record has none
+        return None
     if fmt in (".", ""):
         die(f"filter expression: FORMAT tag {tag} requires raw FORMAT "
-            "retention (text VCF input; enabled automatically when a "
-            "-i/-e expression references FMT/)")
+            "retention (enabled automatically when a -i/-e expression "
+            "references FMT/)")
     cols = fmt.split("\t")
     keys = cols[0].split(":")
     if tag not in keys:
@@ -234,9 +239,23 @@ def _eval(node, rec):
         return node[1]
     if kind == "str":
         return node[1]
+    if kind == "strset":
+        return node[1]
     if kind == "field":
         return _field_value(node[1], rec)
     return node[1](rec)  # arith / bool
+
+
+class _StrSet(frozenset):
+    """Values loaded from an @file atom (whitespace/newline-separated)."""
+
+
+def _load_file_set(path: str) -> "_StrSet":
+    try:
+        with open(path) as f:
+            return _StrSet(f.read().split())
+    except OSError as e:
+        die(f"filter expression: cannot read @{path}: {e}")
 
 
 def _as_vec(val, ctx: str):
@@ -392,7 +411,7 @@ class _Parser:
     def cmp_expr(self):
         lhs = self.sum_expr()
         op = self.peek()
-        if op in ("==", "=", "!=", "<", "<=", ">", ">="):
+        if op in ("==", "=", "!=", "<", "<=", ">", ">=", "~", "!~"):
             self.take()
             rhs = self.sum_expr()
             return ("bool", _make_cmp(lhs, op, rhs))
@@ -443,6 +462,8 @@ class _Parser:
             return node
         if t[0] in "\"'":
             return ("str", t[1:-1])
+        if t[0] == "@":  # value-set file: ID=@ids.txt (filter.c @file)
+            return ("strset", _load_file_set(t[1:]))
         try:
             return ("num", float(t))
         except ValueError:
@@ -495,6 +516,10 @@ def _make_cmp(lhs, op, rhs):
     def cmp(rec):
         lv = _eval(lhs, rec)
         rv = _eval(rhs, rec)
+        if isinstance(lv, _StrSet) and not isinstance(rv, _StrSet):
+            return _cmp_values(rv, op, lv)  # @file reads naturally on rhs
+        if op in ("~", "!~"):
+            return _cmp_regex(lv, op, rv)
         if isinstance(rv, (set, _GTVals)) and not isinstance(
             lv, (set, _GTVals)
         ):
@@ -505,7 +530,43 @@ def _make_cmp(lhs, op, rhs):
     return cmp
 
 
+def _cmp_regex(lv, op, rv):
+    """Regex match (~ / !~): any-element semantics over string vectors,
+    matching htslib's filters (consensus.cpp:288 delegation)."""
+    if not isinstance(rv, str):
+        die("filter expression: ~ needs a string regex on the right")
+    try:
+        pat = re.compile(rv)
+    except re.error as e:
+        die(f"filter expression: bad regex '{rv}': {e}")
+    if lv is None:
+        return op == "!~"
+    if isinstance(lv, (_GTVals, list)):
+        strs = [str(v) for v in lv]
+    elif isinstance(lv, set):
+        strs = sorted(lv)
+    elif lv is True:
+        strs = []
+    else:
+        strs = [str(lv)]
+    hit = any(pat.search(s) for s in strs)
+    return hit if op == "~" else not hit
+
+
 def _cmp_values(lv, op, rv):
+    if isinstance(rv, _StrSet):  # @file membership (ID=@file semantics)
+        if lv is None or lv is True:
+            return op == "!="
+        vals = (
+            [str(v) for v in lv]
+            if isinstance(lv, (list, _GTVals))
+            else [str(lv)]
+        )
+        if op in ("==", "="):
+            return any(v in rv for v in vals)
+        if op == "!=":
+            return all(v not in rv for v in vals)
+        die(f"filter expression: @file does not support {op}")
     if lv is None:  # absent INFO tag: no comparison matches
         return op == "!=" if isinstance(rv, str) else False
     if rv is None:

@@ -301,6 +301,65 @@ _BCF_WIDTH = {0: 0, 1: 1, 2: 2, 3: 4, 5: 4, 7: 1}  # 0 = MISSING (no payload)
 _BCF_DTYPE = {1: "<i1", 2: "<i2", 3: "<i4", 5: "<f4", 7: "S1"}
 
 
+_BCF_F_MISSING = 0x7F800001  # float bit patterns (spec section 6.3.3)
+_BCF_F_EOV = 0x7F800002
+
+
+def _bcf_fmt_texts(is_gt: bool, t: int, cnt: int, n_sample: int,
+                   data: bytes) -> List[bytes]:
+    """One BCF FORMAT tag -> per-sample text values (the VCF column
+    surface), honoring MISSING/END_OF_VECTOR sentinels.  GT vectors are
+    re-encoded as a/b with the phase bit choosing | vs / (spec 6.3.3;
+    the leading value's phase bit is ignored, as in htslib)."""
+    if t == 0 or cnt == 0:
+        return [b"."] * n_sample
+    if t == 7:  # fixed-width char blobs, NUL-padded
+        return [
+            (data[s * cnt : (s + 1) * cnt].rstrip(b"\x00") or b".")
+            for s in range(n_sample)
+        ]
+    if t == 5:
+        bits = np.frombuffer(data, dtype="<u4").reshape(n_sample, cnt)
+        vals = np.frombuffer(data, dtype="<f4").reshape(n_sample, cnt)
+        out = []
+        for s in range(n_sample):
+            parts = []
+            for j in range(cnt):
+                b = int(bits[s, j])
+                if b == _BCF_F_EOV:
+                    break
+                parts.append(
+                    b"." if b == _BCF_F_MISSING
+                    else repr(float(vals[s, j])).encode()
+                )
+            out.append(b",".join(parts) or b".")
+        return out
+    arr = (
+        np.frombuffer(data, dtype=_BCF_DTYPE[t])
+        .astype(np.int64)
+        .reshape(n_sample, cnt)
+    )
+    eov, miss = _BCF_EOV[t], _BCF_MISSING[t]
+    out = []
+    for s in range(n_sample):
+        parts = []
+        for j in range(cnt):
+            v = int(arr[s, j])
+            if v == eov:
+                break
+            if is_gt:
+                sep = b"" if j == 0 else (b"|" if v & 1 else b"/")
+                al = b"." if v <= 0 else str((v >> 1) - 1).encode()
+                parts.append(sep + al)
+            else:
+                parts.append(b"." if v == miss else str(v).encode())
+        if is_gt:
+            out.append(b"".join(parts) or b".")
+        else:
+            out.append(b",".join(parts) or b".")
+    return out
+
+
 class _BcfBuf:
     """Cursor over one record's shared/indiv byte block."""
 
@@ -494,11 +553,6 @@ class VCF:
             self.contigs = contig_seen
 
     def _parse_bcf(self, fp):
-        if self._store_format:
-            from ..utils.errors import die
-
-            die("FORMAT-tag filter expressions need text VCF input "
-                "(per-sample BCF re-encode is not supported)")
         """BCF2 record stream -> the same columnar stores as the text path.
 
         Clean-room decode of the binary container (VCFv4.x spec section 6;
@@ -623,10 +677,20 @@ class VCF:
 
             row: List[int] = []
             got_gt = False
+            fmt_names: List[bytes] = []
+            fmt_cols: List[List[bytes]] = []
             for _ in range(n_fmt):
                 key = int(indiv.typed_ints()[0])
                 t, cnt = indiv.typed_header()
                 data = indiv.take(n_sample * cnt * _BCF_WIDTH[t])
+                if self._store_format and n_sample:
+                    # re-encode this tag's per-sample values as the text
+                    # column surface the FMT/ filter engine consumes
+                    fmt_names.append(str_dict.get(key, b"?"))
+                    fmt_cols.append(
+                        _bcf_fmt_texts(key == gt_key, t, cnt, n_sample,
+                                       data)
+                    )
                 if key != gt_key or t not in (1, 2, 3) or cnt == 0:
                     continue
                 got_gt = True
@@ -646,6 +710,17 @@ class VCF:
                     row.extend(hap[:2])
             if not got_gt:
                 row = [-1, -1] * n_sample
+            if self._store_format:
+                if fmt_names:
+                    samp_cols = [
+                        b":".join(col[s] for col in fmt_cols)
+                        for s in range(n_sample)
+                    ]
+                    fmt_text = b"\t".join(
+                        [b":".join(fmt_names)] + samp_cols
+                    )
+                else:
+                    fmt_text = b"-"  # record has no FORMAT block
 
             contig = contig_dict.get(chrom, str(chrom))
             b = builders.get(contig)
@@ -658,6 +733,8 @@ class VCF:
             b.quals.append(qual)
             b.filters.append(filt)
             b.infos.append(info_bytes)
+            if self._store_format:
+                b.fmts.append(fmt_text)
             b.add_gt_row(row)
 
         nsamples = len(self.samples)

@@ -288,3 +288,124 @@ def test_filter_format_tags(tmp_path):
     v2 = merge_vcfs([str(vcf)])
     with pytest.raises(PfbwtError, match="FORMAT tag"):
         compile_filter("FMT/DP > 1")(list(v2.records_for_contig("chr1"))[0])
+
+
+def test_filter_regex_match():
+    """~ / !~ regex operators (htslib filter.c semantics: ERE search,
+    any-element over vectors)."""
+    from dataclasses import replace
+    f = compile_filter('REF~"^A[CG]$"')
+    assert f(_rec(5, "AC", ["A"]))
+    assert not f(_rec(5, "AT", ["A"]))
+    g = compile_filter('ID~"^rs[0-9]+"')
+    assert g(replace(_rec(5, "A", ["T"]), vid="rs123"))
+    assert not g(replace(_rec(5, "A", ["T"]), vid="var1"))
+    n = compile_filter('ID!~"^rs"')
+    assert n(replace(_rec(5, "A", ["T"]), vid="var1"))
+    assert not n(replace(_rec(5, "A", ["T"]), vid="rs9"))
+    # FILTER string and INFO string vectors
+    soft = compile_filter('FILTER~"LowQual"')
+    assert soft(_rec(5, "A", ["T"], filt="LowQual;SnpCluster"))
+    assert not soft(_rec(5, "A", ["T"], filt="PASS"))
+    v = compile_filter('INFO/SVTYPE~"DEL|DUP"')
+    r = replace(_rec(5, "A", ["T"]), info="SVTYPE=DUP")
+    assert v(r)
+    assert not v(replace(_rec(5, "A", ["T"]), info="SVTYPE=INV"))
+    # absent tag: ~ false, !~ true
+    assert not v(_rec(5, "A", ["T"]))
+    assert compile_filter('INFO/SVTYPE!~"DEL"')(_rec(5, "A", ["T"]))
+    from pfbwtf_tpu.utils.errors import PfbwtError
+
+    with pytest.raises(PfbwtError, match="regex"):
+        compile_filter('ID~"["')(_rec(5, "A", ["T"]))
+
+
+def test_filter_at_file_sets(tmp_path):
+    """@file value sets: ID=@ids.txt membership (filter.c @file)."""
+    from dataclasses import replace
+    ids = tmp_path / "ids.txt"
+    ids.write_text("rs1\nrs7 rs9\n")
+    f = compile_filter(f"ID=@{ids}")
+    assert f(replace(_rec(5, "A", ["T"]), vid="rs7"))
+    assert not f(replace(_rec(5, "A", ["T"]), vid="rs2"))
+    n = compile_filter(f"ID!=@{ids}")
+    assert n(replace(_rec(5, "A", ["T"]), vid="rs2"))
+    assert not n(replace(_rec(5, "A", ["T"]), vid="rs1"))
+    # combines with boolean operators; missing file dies cleanly
+    c = compile_filter(f'ID=@{ids} && TYPE="snp"')
+    assert c(replace(_rec(5, "A", ["T"]), vid="rs9"))
+    from pfbwtf_tpu.utils.errors import PfbwtError
+
+    with pytest.raises(PfbwtError, match="cannot read"):
+        compile_filter(f"ID=@{tmp_path}/absent.txt")
+
+
+def test_filter_format_tags_on_bcf(tmp_path):
+    """FMT/TAG filters on BCF input: the binary FORMAT block is re-encoded
+    to the text surface under store_format (int, vector-int, GT tags;
+    MISSING and END_OF_VECTOR honored)."""
+    import gzip
+    import struct
+
+    from pfbwtf_tpu.vcf.reader import merge_vcfs
+
+    from .test_bcf import _typed, _typed_i8vec, _typed_str
+
+    header = (
+        b"##fileformat=VCFv4.2\n"
+        b'##FILTER=<ID=q10,Description="x">\n'
+        b'##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        b'##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+        b'##FORMAT=<ID=AD,Number=2,Type=Integer,Description="a">\n'
+        b"##contig=<ID=chr1,length=100>\n"
+        b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        b"\x00"
+    )
+    # string dict: PASS=0, q10=1, GT=2, DP=3, AD=4
+    out = bytearray(b"BCF\x02\x02")
+    out += struct.pack("<I", len(header))
+    out += header
+
+    shared = bytearray()
+    shared += struct.pack("<iii", 0, 4, 1)        # chrom, pos(0-based), rlen
+    shared += struct.pack("<f", 50.0)             # qual
+    shared += struct.pack("<I", (2 << 16) | 0)    # n_allele=2, n_info=0
+    shared += struct.pack("<I", (3 << 24) | 2)    # n_fmt=3, n_sample=2
+    shared += _typed_str(b"rs5")
+    shared += _typed_str(b"A")
+    shared += _typed_str(b"T")
+    shared += _typed_i8vec([])                    # FILTER: none -> "."
+
+    indiv = bytearray()
+    indiv += _typed_i8vec([2])                    # key GT
+    indiv += _typed(1, 2)
+    indiv += struct.pack("<2b", 2, 5)             # S1 0|1
+    indiv += struct.pack("<2b", 4, 5)             # S2 1|1
+    indiv += _typed_i8vec([3])                    # key DP
+    indiv += _typed(1, 1)
+    indiv += struct.pack("<b", 7)                 # S1 DP=7
+    indiv += struct.pack("<b", 31)                # S2 DP=31
+    indiv += _typed_i8vec([4])                    # key AD
+    indiv += _typed(1, 2)
+    indiv += struct.pack("<2b", 3, 4)             # S1 AD=3,4
+    indiv += struct.pack("<2b", 15, 16)           # S2 AD=15,16
+
+    out += struct.pack("<II", len(shared), len(indiv))
+    out += shared
+    out += indiv
+
+    bcf = tmp_path / "f.bcf"
+    with gzip.open(bcf, "wb") as fp:
+        fp.write(bytes(out))
+
+    v = merge_vcfs([str(bcf)], store_format=True)
+    (rec,) = list(v.records_for_contig("chr1"))
+    assert rec.fmt.split("\t")[0] == "GT:DP:AD"
+    assert rec.fmt.split("\t")[1] == "0|1:7:3,4"
+    f = compile_filter("FMT/DP > 30")
+    assert f(rec)
+    assert not compile_filter("FMT/DP > 40")(rec)
+    g = compile_filter("MAX(FMT/AD) >= 16 && FMT/DP >= 7")
+    assert g(rec)
+    assert compile_filter('FMT/GT = "0|1"')(rec)
+    assert compile_filter("FMT/XX > 1")(rec) is False  # absent tag
