@@ -19,6 +19,7 @@ cumsum/cumprod wrap mod 2**64 in XLA exactly as in numpy); the numpy path
 cross-checked against it in the test suite.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -123,6 +124,7 @@ def assemble_core(
     dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int, impl: str = "lax",
     sorted_state=None, seg_start=None, fanout: str = "scatter",
+    wide: bool = None,
 ):
     """Traceable emission-sort assembly body — callable standalone (below)
     or inlined into the fused whole-pipeline program (ops/fused.py).
@@ -203,7 +205,27 @@ def assemble_core(
     e_valid = eidx < it(total_true)
     KB = int(np.ceil(np.log2(m_ilist + 2)))
     nsuf_bits = int(np.ceil(np.log2(nsuf_b + 2)))
-    if fanout == "fill" and nsuf_bits + KB + 9 <= 63:
+    # single-operand (gid, j, flags) key needs nsuf_bits + KB + 9 <= 63;
+    # past that the WIDE multi-operand sort below is exact at any width.
+    # ``wide`` (static; None = auto) forces the wide path for testing.
+    single_ok = nsuf_bits + KB + 9 <= 63 and not wide
+    if fanout == "fill" and not single_ok:
+        import warnings
+
+        warnings.warn(
+            "PFBWT_FANOUT=fill ineligible (emission key exceeds 63 bits"
+            " or wide sort forced); using the scatter engine",
+            stacklevel=2,
+        )
+    if fanout == "merge" and nsuf_b + total_b >= 2**30:
+        import warnings
+
+        warnings.warn(
+            "PFBWT_FANOUT=merge ineligible (nsuf_b + total_b >= 2^30);"
+            " using the scatter engine",
+            stacklevel=2,
+        )
+    if fanout == "fill" and single_ok:
         emit = counts > 0
         sidx = jnp.arange(nsuf_b, dtype=it)
         pe_ex = jnp.concatenate(
@@ -282,7 +304,7 @@ def assemble_core(
         gid_ord = rows[:, 2][order]
         ls_ord = ls_tab[jnp.clip(gid_ord, 0, nsuf_b - 1)]
         fl_ord = rows[:, 3][order]
-    elif nsuf_bits + KB + 9 <= 63:
+    elif single_ok:
         # SINGLE-OPERAND sort: (gid, j) pairs are unique per lane (one
         # word's ilist positions are distinct; different words' are
         # disjoint), so the 9 flag bits ride BELOW j without affecting
@@ -300,18 +322,20 @@ def assemble_core(
         gid_ord = (key_ord >> (KB + 9)).astype(it)
         ls_ord = ls_tab[jnp.clip(gid_ord, 0, nsuf_b - 1)]
     else:
-        key = (rows[:, 2].astype(jnp.int64) << KB) | E_j.astype(jnp.int64)
-        key = jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max)
+        # WIDE path: (gid, j) as two sort operands — exact at any width
+        # (no packed-key overflow), values ride along (a packed
+        # (gid << KB) | j key would silently wrap past 63 bits)
+        hi = jnp.where(e_valid, rows[:, 2], it(nsuf_b))
         ls_lane = ls_tab[jnp.clip(rows[:, 2], 0, nsuf_b - 1)]
-        key_ord, ls_ord, fl_ord = jax.lax.sort(
-            (key, ls_lane, rows[:, 3]), num_keys=1
+        _, j_ord, ls_ord, fl_ord = jax.lax.sort(
+            (hi, E_j, ls_lane, rows[:, 3]), num_keys=2
         )
-        j_ord = (key_ord & jnp.int64((1 << KB) - 1)).astype(it)
     return _emit_decode(fl_ord, j_ord, ls_ord, bwlast, bwsai, m_ilist, it)
 
 
 _assemble_device = partial(
-    jax.jit, static_argnames=("w", "nsuf_b", "total_b", "impl", "fanout")
+    jax.jit,
+    static_argnames=("w", "nsuf_b", "total_b", "impl", "fanout", "wide"),
 )(assemble_core)
 
 
@@ -364,6 +388,8 @@ def assemble_bwt_jax(
         total_b,
         sort_impl(),
         fanout=fanout_impl(),
+        # test hook: force the wide multi-operand emission sort
+        wide=bool(int(os.environ.get("PFBWT_EMIT_WIDE", "0"))) or None,
     )
     bwtc = np.asarray(bwtc)[:total]
     run_start = np.empty(total, dtype=bool)

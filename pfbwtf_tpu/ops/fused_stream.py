@@ -347,7 +347,15 @@ def _chunk_core(
         jnp.sum(jnp.where(ev, bwtc.astype(jnp.uint64), 0))
         + jnp.sum(jnp.where(ev, sa_vals, jnp.uint64(0)))
     )
-    return bwtc, sa_vals, checksum
+    # invariant guard (ADVICE r3): local gids must fit the chunk-local
+    # ls table — a violation would silently zero a group's suffix length
+    # via the scatter drop-guard above.  Count offenders so the driver
+    # can fail loudly instead (rides the existing checksum fetch).
+    bad = jnp.sum(
+        jnp.where(win_valid & ((lgid < 0) | (lgid >= it(chunk_b))),
+                  jnp.int32(1), jnp.int32(0))
+    )
+    return bwtc, sa_vals, checksum, bad
 
 
 _chunk_jits = {}
@@ -470,8 +478,15 @@ def pfbwt_fused_stream(
 
     def drain(slot):
         nonlocal checksum
-        bwt_d, sa_d, ck_d, m_c, base_c = slot
+        bwt_d, sa_d, ck_d, bad_d, m_c, base_c = slot
         checksum += np.uint64(np.asarray(ck_d))
+        nbad = int(np.asarray(bad_d))
+        if nbad:
+            die(
+                f"streamed assembly invariant violation: {nbad} local "
+                "gids exceed the chunk-local table (chunk table sizing "
+                "bug — please report)"
+            )
         if not fetch:
             return
         bwtc = np.asarray(bwt_d)[:m_c]
@@ -494,7 +509,9 @@ def pfbwt_fused_stream(
             jnp.int64(int(s_starts[c])), jnp.int64(int(s_starts[c + 1])),
             jnp.int64(int(bases[c])), jnp.int64(m_c), jnp.int64(n),
         )
-        pending.append((out[0], out[1], out[2], m_c, int(bases[c])))
+        pending.append(
+            (out[0], out[1], out[2], out[3], m_c, int(bases[c]))
+        )
         if len(pending) >= 2:  # double-buffer: overlap fetch with compute
             drain(pending.pop(0))
     while pending:

@@ -148,3 +148,53 @@ def test_assemble_alt_fanout(engine, monkeypatch):
     assert np.array_equal(got.sa, want.sa)
     assert np.array_equal(got.ssa, want.ssa)
     assert np.array_equal(got.esa, want.esa)
+
+
+def test_assemble_wide_emission_sort(monkeypatch):
+    """PFBWT_EMIT_WIDE=1 forces the wide multi-operand emission sort
+    (the branch large shapes take when nsuf_bits + KB + 9 > 63, where a
+    packed int64 key would overflow); byte parity with the host path."""
+    monkeypatch.setenv("PFBWT_EMIT_WIDE", "1")
+    from pfbwtf_tpu.ops.bwt_jax import assemble_bwt_jax
+
+    rng = np.random.default_rng(23)
+    seq = rng.choice(ACGT, size=5000)
+    params = ParserParams(w=4, p=9, get_sai=True)
+    res = parse_records([("s", seq)], params)
+    pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=True)
+    args = (
+        res.dict_flat(), 4, res.occs.astype(np.int64), pb.bwlast,
+        pb.ilist, pb.bwsai, res.n,
+    )
+    want = assemble_bwt(*args, want_sa=True, want_rssa=True)
+    got = assemble_bwt_jax(*args, want_sa=True, want_rssa=True)
+    assert got.bwt.tobytes() == want.bwt.tobytes()
+    assert np.array_equal(got.sa, want.sa)
+    assert np.array_equal(got.ssa, want.ssa)
+
+
+def test_fill_fanout_ineligible_warns(monkeypatch):
+    """Requesting PFBWT_FANOUT=fill when the packed key cannot hold the
+    emission bits warns and falls back to scatter (ADVICE r3)."""
+    import warnings as _w
+
+    monkeypatch.setenv("PFBWT_FANOUT", "fill")
+    monkeypatch.setenv("PFBWT_EMIT_WIDE", "1")  # forces fill ineligible
+    from pfbwtf_tpu.ops.bwt_jax import assemble_bwt_jax
+
+    rng = np.random.default_rng(24)
+    seq = rng.choice(ACGT, size=3000)
+    params = ParserParams(w=4, p=9, get_sai=True)
+    res = parse_records([("s", seq)], params)
+    pb = bwt_of_parse(res.parse_ranks, res.last, res.sai, get_sai=True)
+    args = (
+        res.dict_flat(), 4, res.occs.astype(np.int64), pb.bwlast,
+        pb.ilist, pb.bwsai, res.n,
+    )
+    want = assemble_bwt(*args, want_sa=True)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = assemble_bwt_jax(*args, want_sa=True)
+    assert any("fill ineligible" in str(x.message) for x in rec)
+    assert got.bwt.tobytes() == want.bwt.tobytes()
+    assert np.array_equal(got.sa, want.sa)
