@@ -1,29 +1,75 @@
-"""Scaling-efficiency harness: sharded parse throughput vs mesh size.
+"""Scaling-efficiency harness: weak scaling over mesh sizes.
 
-Runs the halo-exchange parse step (parallel/sharded.py) over meshes of
-1, 2, 4, ... N devices with a FIXED per-device shard (weak scaling — the
-pod recipe: more chips == more genome), and reports MB/s plus efficiency
-relative to the single-device rate.  Prints one JSON line per mesh size:
+Two steps, selectable with --step:
+
+* ``parse`` — the halo-exchange parse scan (parallel/sharded.py).  The
+  communication is one (w-1)-byte ppermute plus a scalar psum per step,
+  so the EXPECTED weak-scaling efficiency is
+
+      eff(d) ~= S / (S + B_halo + d_latency)
+
+  with S = shard bytes and B_halo = (w-1): essentially flat (>99%) at
+  any real shard size — if a real-pod run shows materially less, the
+  gap is dispatch/latency, not algorithm.
+
+* ``dsort`` — one pass of the distributed sample-sort
+  (parallel/dsort.py dsort_blocks), the communication-heavy core of the
+  distributed doubling + emission sorts.  Each pass moves ~all shard
+  bytes once through an all_to_all plus splitter all_gathers, so the
+  model is
+
+      eff(d) ~= t_local(S) / (t_local(S) + S/BW_ici + a2a_lat(d))
+
+  On v5e, BW_ici ~ 186 GB/s/link: a 64 MB/device shard pays ~0.4 ms of
+  wire time per pass — efficiency should stay >=70% as long as local
+  sort time dominates, which is what this harness verifies.
+
+Runs meshes of 1, 2, 4, ... N devices with a FIXED per-device shard
+(weak scaling — the pod recipe: more chips == more genome) and reports
+MB/s plus efficiency relative to the single-device rate.  One JSON line
+per mesh size:
 
     {"devices": d, "mbps": ..., "efficiency": ...}
 
-On real hardware run it on the pod slice; in this repo's CI it runs on the
-virtual 8-device CPU mesh:
+Defaults to 64 MB/device (the size where results are meaningful —
+trivially small shards are latency-dominated and flatter nothing).  On
+real hardware run it on the pod slice; in this repo's CI it runs on the
+virtual 8-device CPU mesh with a small shard:
 
     JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu \
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-    python benchmarks/scaling.py
+    python benchmarks/scaling.py --shard-mb 1 --step parse
+
+NOTE: efficiency numbers from the CPU mesh on a small VM are
+physically meaningless (all "devices" share two cores); the harness
+exists so a real multi-chip run is one command.
 """
 
+import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
-def bench_scaling(shard_mb: float = 4.0, w: int = 10, p: int = 100,
-                  iters: int = 3):
+
+def _mesh_sizes(n_devices: int):
+    sizes = []
+    d = 1
+    while d <= n_devices:
+        sizes.append(d)
+        d *= 2
+    if sizes[-1] != n_devices:
+        sizes.append(n_devices)
+    return sizes
+
+
+def bench_parse(shard_mb: float, w: int, p: int, iters: int):
     import jax
 
     from pfbwtf_tpu.parallel.sharded import make_parse_mesh, \
@@ -31,18 +77,10 @@ def bench_scaling(shard_mb: float = 4.0, w: int = 10, p: int = 100,
 
     devices = jax.devices()
     shard_len = int(shard_mb * (1 << 20))
-    sizes = []
-    d = 1
-    while d <= len(devices):
-        sizes.append(d)
-        d *= 2
-    if sizes[-1] != len(devices):
-        sizes.append(len(devices))
-
     rng = np.random.default_rng(0)
     results = []
     base_mbps = None
-    for nd in sizes:
+    for nd in _mesh_sizes(len(devices)):
         mesh = make_parse_mesh(devices[:nd])
         step = sharded_parse_step(w, p, mesh, shard_len)
         blocks = rng.integers(0, 4, size=(nd, shard_len), dtype=np.uint8)
@@ -58,13 +96,67 @@ def bench_scaling(shard_mb: float = 4.0, w: int = 10, p: int = 100,
         if base_mbps is None:
             base_mbps = mbps / nd
         eff = mbps / (base_mbps * nd)
-        row = {"devices": nd, "mbps": round(mbps, 1),
-               "efficiency": round(eff, 3)}
+        row = {"step": "parse", "devices": nd, "shard_mb": shard_mb,
+               "mbps": round(mbps, 1), "efficiency": round(eff, 3)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+def bench_dsort(shard_mb: float, iters: int):
+    """One distributed sample-sort pass per mesh size: the per-pass cost
+    of every distributed doubling round and of the final emission sort
+    (parallel/dsort.py), i.e. the communication-bound piece whose weak
+    scaling decides pod efficiency."""
+    import jax
+
+    from pfbwtf_tpu.parallel.dsort import dsort_blocks
+    from pfbwtf_tpu.parallel.sharded import make_parse_mesh
+
+    devices = jax.devices()
+    # shard_mb of int64 keys per device
+    shard_len = int(shard_mb * (1 << 20) // 8)
+    rng = np.random.default_rng(1)
+    results = []
+    base_mbps = None
+    for nd in _mesh_sizes(len(devices)):
+        mesh = make_parse_mesh(devices[:nd])
+        keys = rng.integers(
+            0, 1 << 62, size=(nd, shard_len), dtype=np.int64
+        ).astype(np.uint64)
+        vals = np.arange(nd * shard_len, dtype=np.int64).reshape(
+            nd, shard_len
+        )
+        out = dsort_blocks(mesh, "dp", keys, vals)  # compile + warm
+        np.asarray(out[0])
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = dsort_blocks(mesh, "dp", keys, vals)
+            np.asarray(out[0])
+            best = min(best, time.perf_counter() - t0)
+        mbps = nd * shard_len * 8 / best / 1e6
+        if base_mbps is None:
+            base_mbps = mbps / nd
+        eff = mbps / (base_mbps * nd)
+        row = {"step": "dsort", "devices": nd, "shard_mb": shard_mb,
+               "mbps": round(mbps, 1), "efficiency": round(eff, 3)}
         results.append(row)
         print(json.dumps(row), flush=True)
     return results
 
 
 if __name__ == "__main__":
-    shard_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
-    bench_scaling(shard_mb=shard_mb)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shard-mb", type=float, default=64.0,
+                    help="per-device shard size (weak scaling)")
+    ap.add_argument("--step", choices=("parse", "dsort", "both"),
+                    default="both")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("-w", type=int, default=10)
+    ap.add_argument("-p", type=int, default=100)
+    args = ap.parse_args()
+    if args.step in ("parse", "both"):
+        bench_parse(args.shard_mb, args.w, args.p, args.iters)
+    if args.step in ("dsort", "both"):
+        bench_dsort(args.shard_mb, args.iters)
