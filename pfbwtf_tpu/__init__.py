@@ -25,9 +25,14 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: XLA compiles are expensive through the
 # remote-device tunnel (minutes); cache them across processes.  The engine
 # also buckets array shapes (engine.parse_stream) so cache hits dominate.
-_cache_dir = os.environ.get(
-    "PFBWT_COMPILE_CACHE", "/tmp/pfbwtf_tpu_xla_cache"
+# Default location is INSIDE the source checkout (gitignored): /tmp does
+# not survive to the driver's bench environment, the repo does — a warm
+# cache is the difference between a 20 s and a 10 min bench run.
+_default_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".xla_cache",
 )
+_cache_dir = os.environ.get("PFBWT_COMPILE_CACHE", _default_cache)
 if _cache_dir:
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -179,7 +179,12 @@ def _run_fused(args, output: str, dtype) -> int:
     the emission assembly is dispatched in group-aligned chunks and the
     outputs leave HBM chunk by chunk — inputs past the monolithic
     program's HBM ceiling (the device analogue of the reference's
-    out-of-core -m mode, file_wrappers.hpp:36-124)."""
+    out-of-core -m mode, file_wrappers.hpp:36-124).
+
+    With --mesh the FUSED MESH pipeline runs (parallel/fused_mesh.py):
+    sharded parse + collective dict union, one dict-scale emitter-table
+    program, sharded emission keys + distributed sample-sort + sharded
+    decode — the multi-chip form of the same architecture."""
     from ..io.fasta import read_fasta_bytes
     from ..ops.fused import pfbwt_fused_records
     from ..utils.limits import check_text_width
@@ -189,6 +194,16 @@ def _run_fused(args, output: str, dtype) -> int:
         w=args.w, p=args.p, non_acgt_to_a=args.non_acgt_to_a,
         verbose=args.verbose,
     )
+    if args.mesh:
+        from ..parallel.fused_mesh import pfbwt_fused_mesh_records
+        from ..parallel.sharded import make_parse_mesh
+
+        with task_timer("fused mesh pipeline (parse+pfbwt)"):
+            res = pfbwt_fused_mesh_records(
+                read_fasta_bytes(args.fasta), params, make_parse_mesh(),
+                want_sa=args.sa, want_rssa=args.rssa, sa_dtype=dtype,
+            )
+        return _write_fused_outputs(args, output, dtype, res)
     if args.mmap:
         from ..ops.fused_stream import pfbwt_fused_stream
         from ..ops.parse import build_stream
@@ -230,6 +245,12 @@ def _run_fused(args, output: str, dtype) -> int:
             read_fasta_bytes(args.fasta), params,
             want_sa=args.sa, want_rssa=args.rssa, sa_dtype=dtype,
         )
+    return _write_fused_outputs(args, output, dtype, res)
+
+
+def _write_fused_outputs(args, output: str, dtype, res) -> int:
+    from ..utils.limits import check_text_width
+
     n = res.bwt.shape[0] - 1
     check_text_width(n, dtype)
     bwt_fp = (

@@ -120,27 +120,20 @@ def _emit_decode(fl_ord, j_ord, ls_ord, bwlast, bwsai, m_ilist, it):
     return bwtc, sa_vals
 
 
-def assemble_core(
-    dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
-    w: int, nsuf_b: int, total_b: int, impl: str = "lax",
-    sorted_state=None, seg_start=None, fanout: str = "scatter",
-    wide: bool = None,
+def emission_state(
+    dict_flat, occs, nsuf_true, w: int, nsuf_b: int, it,
+    sorted_state, seg_start=None,
 ):
-    """Traceable emission-sort assembly body — callable standalone (below)
-    or inlined into the fused whole-pipeline program (ops/fused.py).
-    ``impl`` selects the sort engine (suffix.sort_impl).  ``sorted_state``
-    (a dict_sort_part result) and ``seg_start`` let the fused path reuse
-    its sort and supply ilist segment starts permuted to ITS word order
-    (provisional dedup order); by default both derive from the byte-lex
-    dict this standalone path receives."""
+    """Nsuf-scale emission bookkeeping shared by assemble_core and the
+    fused-mesh pipeline (parallel/fused_mesh.py): kept-suffix compaction
+    in lexicographic order, exact equality groups (len + captured rank
+    blocks), per-suffix emission counts / first slots / BWT-char flags,
+    and the per-group suffix-length table.
+
+    Returns (sa_kept, suf_valid, ls, gid, u, counts, first, flags,
+    ls_tab, seg_start)."""
     D = dict_flat.shape[0]
     dwords = occs.shape[0]
-    # int32 for every counting scan (indices/counts < 2**31 — the 32-bit
-    # width guards fire long before): 64-bit scans lower to u32-pair
-    # reduce-windows on TPU, slow and scoped-VMEM-hungry at multi-M sizes
-    it = jnp.int32 if max(D, total_b) < 2**31 - 2 else jnp.int64
-    if sorted_state is None:
-        sorted_state = dict_sort_part(dict_flat, w, impl)
     sa_all, C1, C2, suf_len, word_id = sorted_state
     # keep suffixes longer than w, in lexicographic order
     kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
@@ -170,6 +163,48 @@ def assemble_core(
     else:
         seg_start = seg_start.astype(it)
     counts = jnp.where(suf_valid, occs_n[u], it(0))
+    first = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum(counts)[:-1]))
+    prev_sep = jnp.concatenate(
+        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
+    )
+    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
+    flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
+    ls_tab = jnp.zeros(nsuf_b, it).at[gid].max(
+        jnp.where(suf_valid, ls, it(0)), mode="promise_in_bounds"
+    )
+    return (
+        sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
+        seg_start,
+    )
+
+
+def assemble_core(
+    dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
+    w: int, nsuf_b: int, total_b: int, impl: str = "lax",
+    sorted_state=None, seg_start=None, fanout: str = "scatter",
+    wide: bool = None,
+):
+    """Traceable emission-sort assembly body — callable standalone (below)
+    or inlined into the fused whole-pipeline program (ops/fused.py).
+    ``impl`` selects the sort engine (suffix.sort_impl).  ``sorted_state``
+    (a dict_sort_part result) and ``seg_start`` let the fused path reuse
+    its sort and supply ilist segment starts permuted to ITS word order
+    (provisional dedup order); by default both derive from the byte-lex
+    dict this standalone path receives."""
+    D = dict_flat.shape[0]
+    # int32 for every counting scan (indices/counts < 2**31 — the 32-bit
+    # width guards fire long before): 64-bit scans lower to u32-pair
+    # reduce-windows on TPU, slow and scoped-VMEM-hungry at multi-M sizes
+    it = jnp.int32 if max(D, total_b) < 2**31 - 2 else jnp.int64
+    if sorted_state is None:
+        sorted_state = dict_sort_part(dict_flat, w, impl)
+    (
+        sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
+        seg_start,
+    ) = emission_state(
+        dict_flat, occs, nsuf_true, w, nsuf_b, it, sorted_state, seg_start
+    )
     # emission fan-out WITHOUT jnp.repeat (measured ~0.6 s per repeat over
     # total_b at 16 MB).  Three engines (suffix.fanout_impl):
     #   fill     per-lane values built DIRECTLY: every quantity a lane
@@ -190,17 +225,7 @@ def assemble_core(
     #            compact back to e order.  No scatter, at the price of a
     #            2x-length sort + compaction (measured LOSER at 64 MB:
     #            3.1 s vs 0.84 s scatter).
-    first = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum(counts)[:-1]))
     eidx = jnp.arange(total_b, dtype=it)
-    prev_sep = jnp.concatenate(
-        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
-    )
-    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
-    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
-    flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
-    ls_tab = jnp.zeros(nsuf_b, it).at[gid].max(
-        jnp.where(suf_valid, ls, it(0)), mode="promise_in_bounds"
-    )
     m_ilist = ilist.shape[0]
     e_valid = eidx < it(total_true)
     KB = int(np.ceil(np.log2(m_ilist + 2)))

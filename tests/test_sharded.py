@@ -84,8 +84,11 @@ def test_multihost_single_process(tmp_path, rng):
 
 
 def test_scaling_bench_smoke():
-    from benchmarks.scaling import bench_scaling
+    from benchmarks.scaling import bench_dsort, bench_parse
 
-    rows = bench_scaling(shard_mb=0.05, iters=1)
+    rows = bench_parse(shard_mb=0.05, w=10, p=17, iters=1)
+    assert rows[0]["devices"] == 1 and rows[-1]["devices"] == 8
+    assert all(r["mbps"] > 0 for r in rows)
+    rows = bench_dsort(shard_mb=0.05, iters=1)
     assert rows[0]["devices"] == 1 and rows[-1]["devices"] == 8
     assert all(r["mbps"] > 0 for r in rows)
