@@ -38,6 +38,7 @@ host hash path (ops/parse._dedup_and_rank), cross-checked against the exact
 native-memcmp path in tests.
 """
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -228,18 +229,25 @@ _parse_jits = {}
 # --------------------------------------------------------------------------
 
 
-def _final_core(
+def _j3_prep_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
-    nphrases, D, dict_total, nsuf_true, total_true,
-    w: int, dict_b: int, nsuf_b: int, total_b: int, impl: str = "lax",
-    fanout: str = "scatter",
+    nphrases, D, dict_total,
+    w: int, dict_b: int, impl: str = "lax",
 ):
+    """First half of J3 (dict-scale): dict byte array, dict suffix sort
+    with captures, true word-rank recovery, parse-BWT, and the ilist
+    segment starts permuted to provisional word order.  Split out so the
+    PFBWT_J3_SPLIT=1 mode can dispatch it as its OWN program (HBM-chained
+    into the second half) — XLA schedules the emission program's big
+    gathers much better when they are not fused into the same program as
+    the doubling loop (in-program gather cost measured 8.6 s vs 1.1 s
+    standalone at 64 MB)."""
+    import jax
     import jax.numpy as jnp
 
-    from .bwt_jax import assemble_core
+    from .bwt_jax import dict_sort_part
     from .parse_bwt import parse_bwt_core
-
-    import jax
+    from .suffix import compact_indices_jax
 
     nph_b = parse_ranks.shape[0]
     tb = Tp.shape[0]
@@ -316,6 +324,23 @@ def _final_core(
         (jnp.ones(1, it), it(1) + jnp.cumsum(occs_lex)[:-1])
     )
     seg_prov = seg_lex[jnp.clip(lex_of_prov, 0, nph_b - 1)]
+    return dict_flat, ss, bwlast, ilist, bwsai, seg_prov
+
+
+def _final_core(
+    Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+    nphrases, D, dict_total, nsuf_true, total_true,
+    w: int, dict_b: int, nsuf_b: int, total_b: int, impl: str = "lax",
+    fanout: str = "scatter",
+):
+    import jax.numpy as jnp
+
+    from .bwt_jax import assemble_core
+
+    dict_flat, ss, bwlast, ilist, bwsai, seg_prov = _j3_prep_core(
+        Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+        nphrases, D, dict_total, w, dict_b, impl=impl,
+    )
     bwtc, sa_vals = assemble_core(
         dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
         w, nsuf_b, total_b, impl=impl, sorted_state=ss,
@@ -325,7 +350,31 @@ def _final_core(
     return bwtc, sa_vals, checksum
 
 
+def _j3_emit_core(
+    dict_flat, ss0, ss1, ss2, ss3, ss4, occs, bwlast, ilist, bwsai,
+    seg_prov, nsuf_true, total_true,
+    w: int, nsuf_b: int, total_b: int, impl: str = "lax",
+    fanout: str = "scatter",
+):
+    """Second half of the split-J3 mode: emission fan-out + final sort +
+    decode as its own program over the HBM-resident prep outputs."""
+    import jax.numpy as jnp
+
+    from .bwt_jax import assemble_core
+
+    bwtc, sa_vals = assemble_core(
+        dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
+        w, nsuf_b, total_b, impl=impl,
+        sorted_state=(ss0, ss1, ss2, ss3, ss4),
+        seg_start=seg_prov, fanout=fanout,
+    )
+    checksum = jnp.sum(bwtc.astype(jnp.uint64)) + jnp.sum(sa_vals)
+    return bwtc, sa_vals, checksum
+
+
 _final_jits = {}
+_prep_jits = {}
+_emit_jits = {}
 
 
 # --------------------------------------------------------------------------
@@ -397,19 +446,53 @@ def pfbwt_fused_device(
 
     from .suffix import fanout_impl, sort_impl
 
-    key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl(), fanout_impl())
-    if key3 not in _final_jits:
-        _final_jits[key3] = jax.jit(
-            partial(
-                _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
-                total_b=total_b, impl=sort_impl(), fanout=fanout_impl(),
+    if os.environ.get("PFBWT_J3_SPLIT", "0") == "1":
+        # two-dispatch J3: dict-scale prep program, then the emission
+        # program over its HBM-resident outputs (one extra dispatch, no
+        # host transfer) — isolates the emission gathers/sort from the
+        # doubling loop's buffer pressure
+        keyp = (w, dict_b, nph_b, sort_impl())
+        if keyp not in _prep_jits:
+            _prep_jits[keyp] = jax.jit(
+                partial(
+                    _j3_prep_core, w=w, dict_b=dict_b, impl=sort_impl()
+                )
             )
+        dict_flat_d, ss, bwlast_d, ilist_d, bwsai_d, seg_d = _prep_jits[
+            keyp
+        ](
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+            jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
         )
-    bwt_d, sa_d, checksum_d = _final_jits[key3](
-        Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
-        jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
-        jnp.int64(nsuf), jnp.int64(total),
-    )
+        keye = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl(),
+                fanout_impl())
+        if keye not in _emit_jits:
+            _emit_jits[keye] = jax.jit(
+                partial(
+                    _j3_emit_core, w=w, nsuf_b=nsuf_b, total_b=total_b,
+                    impl=sort_impl(), fanout=fanout_impl(),
+                )
+            )
+        bwt_d, sa_d, checksum_d = _emit_jits[keye](
+            dict_flat_d, *ss, occs, bwlast_d, ilist_d, bwsai_d, seg_d,
+            jnp.int64(nsuf), jnp.int64(total),
+        )
+    else:
+        key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl(),
+                fanout_impl())
+        if key3 not in _final_jits:
+            _final_jits[key3] = jax.jit(
+                partial(
+                    _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
+                    total_b=total_b, impl=sort_impl(),
+                    fanout=fanout_impl(),
+                )
+            )
+        bwt_d, sa_d, checksum_d = _final_jits[key3](
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+            jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
+            jnp.int64(nsuf), jnp.int64(total),
+        )
     if not fetch:
         return (bwt_d, sa_d), int(np.asarray(checksum_d))
 

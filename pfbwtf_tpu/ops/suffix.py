@@ -44,8 +44,15 @@ def fanout_impl() -> str:
     table), ``scatter`` (suffix-id scatter + cummax then a 4-col row
     gather), or ``merge`` (one i32 kv-sort of concatenated marker/slot
     keys + cummax + compaction; measured loser at 64 MB on v5e).
-    Read at TRACE time, like sort_impl."""
-    return os.environ.get("PFBWT_FANOUT", "scatter").lower()
+    Read at TRACE time, like sort_impl.
+
+    Default is ``fill`` since the 2026-08-20 64 MB on-chip race: e2e
+    17.48 s (fill) vs 18.96 s (scatter) — and fill has no in-program
+    row gather to blow up under buffer pressure (that gather measured
+    8.6 s inside the scatter-engine program).  assemble_core falls back
+    to scatter (with a warning) where fill is ineligible (emission key
+    past 63 bits)."""
+    return os.environ.get("PFBWT_FANOUT", "fill").lower()
 
 # -- numpy reference path ----------------------------------------------------
 
