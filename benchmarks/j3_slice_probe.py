@@ -252,6 +252,108 @@ def main():
 
     D64 = jnp.int64(D)
 
+    def fill_state(Tp, parse_ranks, occs, dict_start, dict_len, last,
+                   sai, D):
+        """Shared prefix for the fill-engine slices: emission state up to
+        (emit, pe_ex, first, gid, u, flags, ls_tab, seg_prov)."""
+        (dict_flat, ss, bwlast, ilist, bwsai, seg_prov, sa_kept, gid, u,
+         ls, first, _E_suffix, eidx) = upto_fanout(
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai, D)
+        counts = jnp.where(
+            jnp.arange(nsuf_b, dtype=it) < it(nsuf),
+            occs.astype(it)[u], it(0))
+        prev_sep = jnp.concatenate(
+            (jnp.ones(1, jnp.uint8),
+             (dict_flat[:-1] <= 1).astype(jnp.uint8)))
+        prevch = jnp.concatenate(
+            (jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+        sk = jnp.clip(sa_kept.astype(it), 0, dict_b - 1)
+        flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
+        ls_tab = jnp.zeros(nsuf_b, it).at[gid].max(
+            ls, mode="promise_in_bounds")
+        emit = counts > 0
+        sidx = jnp.arange(nsuf_b, dtype=it)
+        pe_ex = jnp.concatenate(
+            (jnp.full(1, -1, it),
+             jax.lax.cummax(jnp.where(emit, sidx, it(-1)))[:-1]))
+
+        def fill_pc(v):
+            pv = jnp.where(
+                pe_ex >= 0, v[jnp.clip(pe_ex, 0, nsuf_b - 1)], it(0))
+            d = jnp.zeros(total_b, it).at[
+                jnp.where(emit, first, it(total_b))
+            ].add(jnp.where(emit, v - pv, it(0)), mode="drop")
+            return jnp.cumsum(d)
+
+        return (fill_pc, gid, flags, seg_prov, u, first, ls_tab,
+                bwlast, ilist, bwsai, eidx)
+
+    def upto_fill_lanes(Tp, parse_ranks, occs, dict_start, dict_len,
+                        last, sai, D):
+        (fill_pc, gid, flags, seg_prov, u, first, ls_tab, bwlast, ilist,
+         bwsai, eidx) = fill_state(
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai, D)
+        gid_lane = fill_pc(gid)
+        flags_lane = fill_pc(flags)
+        base_lane = fill_pc(seg_prov[u] - first)
+        return (gid_lane, flags_lane, base_lane, ls_tab, bwlast, ilist,
+                bwsai, eidx)
+
+    def upto_fill_ej(Tp, parse_ranks, occs, dict_start, dict_len, last,
+                     sai, D):
+        (gid_lane, flags_lane, base_lane, ls_tab, bwlast, ilist, bwsai,
+         eidx) = upto_fill_lanes(
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai, D)
+        m_ilist = ilist.shape[0]
+        slot = jnp.clip(eidx + base_lane, 0, m_ilist - 1)
+        E_j = ilist.astype(it)[slot]
+        return (gid_lane, flags_lane, E_j, ls_tab, bwlast, ilist, bwsai,
+                eidx)
+
+    def upto_fill_sort(Tp, parse_ranks, occs, dict_start, dict_len, last,
+                       sai, D):
+        (gid_lane, flags_lane, E_j, ls_tab, bwlast, ilist, bwsai,
+         eidx) = upto_fill_ej(
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai, D)
+        m_ilist = ilist.shape[0]
+        e_valid = eidx < it(total)
+        KB = int(np.ceil(np.log2(m_ilist + 2)))
+        key = (
+            (gid_lane.astype(jnp.int64) << (KB + 9))
+            | (E_j.astype(jnp.int64) << 9)
+            | flags_lane.astype(jnp.int64)
+        )
+        key_ord = jax.lax.sort(
+            jnp.where(e_valid, key, jnp.iinfo(jnp.int64).max))
+        fl_ord = (key_ord & 511).astype(it)
+        j_ord = ((key_ord >> 9) & jnp.int64((1 << KB) - 1)).astype(it)
+        gid_ord = (key_ord >> (KB + 9)).astype(it)
+        ls_ord = ls_tab[jnp.clip(gid_ord, 0, nsuf_b - 1)]
+        return bwlast, bwsai, fl_ord, j_ord, ls_ord
+
+    fill_slices = [
+        ("dict_flat", jax.jit(lambda: chk(upto_dictflat(
+            Tp, dict_start, dict_len, D64)))),
+        ("+ dict_sort_part", jax.jit(lambda: chk(
+            *upto_sort(Tp, dict_start, dict_len, D64)[1][:2]))),
+        ("+ word-rank recovery", jax.jit(lambda: chk(upto_ranks(
+            Tp, parse_ranks, occs, dict_start, dict_len, D64)[2]
+            .astype(jnp.uint64)))),
+        ("+ parse-BWT", jax.jit(lambda: chk(*upto_pbwt(
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+            D64)[2:5]))),
+        ("+ fill lanes (3x diff-scatter+cumsum)", jax.jit(
+            lambda: chk(*upto_fill_lanes(
+                Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+                D64)[0:3]))),
+        ("+ ilist[slot] gather", jax.jit(lambda: chk(
+            *upto_fill_ej(Tp, parse_ranks, occs, dict_start, dict_len,
+                          last, sai, D64)[0:3]))),
+        ("+ final sort + decode", jax.jit(lambda: chk(
+            *upto_fill_sort(Tp, parse_ranks, occs, dict_start, dict_len,
+                            last, sai, D64)[2:5]))),
+    ]
+
     slices = [
         ("dict_flat", jax.jit(lambda: chk(upto_dictflat(
             Tp, dict_start, dict_len, D64)))),
@@ -273,6 +375,12 @@ def main():
             *upto_sortfinal(Tp, parse_ranks, occs, dict_start, dict_len,
                             last, sai, D64)[3:6]))),
     ]
+    from pfbwtf_tpu.ops.suffix import fanout_impl
+
+    if fanout_impl() == "fill":
+        print("attributing the FILL engine (PFBWT_FANOUT=fill)",
+              flush=True)
+        slices = fill_slices
     prev = 0.0
     for label, fn in slices:
         dt = t(label, lambda fn=fn: np.asarray(fn()))
