@@ -131,7 +131,9 @@ def emission_state(
     and the per-group suffix-length table.
 
     Returns (sa_kept, suf_valid, ls, gid, u, counts, first, flags,
-    ls_tab, seg_start)."""
+    ls_tab, seg_u) — seg_u = the ilist segment start of each kept
+    suffix's word, already gathered (consumers previously re-gathered
+    seg_start[u] themselves)."""
     D = dict_flat.shape[0]
     dwords = occs.shape[0]
     sa_all, C1, C2, suf_len, word_id = sorted_state
@@ -139,9 +141,29 @@ def emission_state(
     kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
     sa_kept = sa_all[kept_idx]
     suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
-    ls = suf_len[sa_kept].astype(it)
-    c1k = C1[sa_kept]
-    c2k = C2[sa_kept]
+    # per-kept-suffix metadata as ONE 5-column row gather: six separate
+    # random gathers at sa_kept measured 1.35 s standalone at 64 MB on
+    # v5e vs 0.30 s for the row form (TPU gathers are row-latency-bound,
+    # so columns ride along nearly free)
+    prev_sep = jnp.concatenate(
+        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
+    )
+    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
+    flags_src = (prev_sep.astype(it) << it(8)) | prevch.astype(it)
+    Z = jnp.stack(
+        (
+            suf_len.astype(it),
+            C1.astype(it),
+            C2.astype(it),
+            word_id.astype(it),
+            flags_src,
+        ),
+        axis=1,
+    )
+    R = Z[jnp.clip(sa_kept.astype(it), 0, D - 1)]
+    ls, c1k, c2k = R[:, 0], R[:, 1], R[:, 2]
+    u = jnp.clip(R[:, 3], 0, jnp.maximum(it(dwords) - 1, 0))
+    flags = R[:, 4]
     # equality groups via (len, rank-block pair)
     eq = (
         (ls[1:] == ls[:-1])
@@ -152,9 +174,6 @@ def emission_state(
     gid = jnp.concatenate(
         (jnp.zeros(1, it), jnp.cumsum((~eq).astype(it)))
     )
-    u = jnp.clip(
-        word_id[sa_kept].astype(it), 0, jnp.maximum(it(dwords) - 1, 0)
-    )
     occs_n = occs.astype(it)
     if seg_start is None:
         seg_start = jnp.concatenate(
@@ -162,20 +181,28 @@ def emission_state(
         )
     else:
         seg_start = seg_start.astype(it)
-    counts = jnp.where(suf_valid, occs_n[u], it(0))
+    # counts + segment starts as one 2-column row gather at u (two
+    # separate gathers measured 0.35 s vs 0.14 s batched)
+    OS = jnp.stack((occs_n, seg_start), axis=1)
+    osr = OS[u]
+    counts = jnp.where(suf_valid, osr[:, 0], it(0))
+    seg_u = osr[:, 1]
     first = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum(counts)[:-1]))
-    prev_sep = jnp.concatenate(
-        (jnp.ones(1, jnp.uint8), (dict_flat[:-1] <= 1).astype(jnp.uint8))
+    # suffix length per group: ls is CONSTANT within an equality group
+    # (groups share their length), so a unique .set at group heads
+    # replaces the scatter-max (0.24 s -> 0.16 s, and no RMW pass)
+    head = jnp.concatenate(
+        (jnp.ones(1, bool), gid[1:] != gid[:-1])
     )
-    prevch = jnp.concatenate((jnp.zeros(1, jnp.uint8), dict_flat[:-1]))
-    sk = jnp.clip(sa_kept.astype(it), 0, D - 1)
-    flags = (prev_sep[sk].astype(it) << it(8)) | prevch[sk].astype(it)
-    ls_tab = jnp.zeros(nsuf_b, it).at[gid].max(
-        jnp.where(suf_valid, ls, it(0)), mode="promise_in_bounds"
+    ls_tab = (
+        jnp.zeros(nsuf_b, it)
+        .at[jnp.where(head & suf_valid, gid, it(nsuf_b))]
+        .set(jnp.where(suf_valid, ls, it(0)), unique_indices=True,
+             mode="drop")
     )
     return (
         sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
-        seg_start,
+        seg_u,
     )
 
 
@@ -201,7 +228,7 @@ def assemble_core(
         sorted_state = dict_sort_part(dict_flat, w, impl)
     (
         sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
-        seg_start,
+        seg_u,
     ) = emission_state(
         dict_flat, occs, nsuf_true, w, nsuf_b, it, sorted_state, seg_start
     )
@@ -271,7 +298,7 @@ def assemble_core(
 
         gid_lane = fill_pc(gid)
         flags_lane = fill_pc(flags)
-        base_lane = fill_pc(seg_start[u] - first)
+        base_lane = fill_pc(seg_u - first)
         slot = jnp.clip(eidx + base_lane, 0, m_ilist - 1)
         E_j = ilist.astype(it)[slot]
         key = (
@@ -309,7 +336,7 @@ def assemble_core(
     # legacy engines: one 4-column row gather per lane from the nsuf
     # table (emission base, ilist segment, group id, flags); suffix
     # length recovered post-sort from ls_tab as in the fill engine
-    S = jnp.stack((first, seg_start[u], gid, flags), axis=1)
+    S = jnp.stack((first, seg_u, gid, flags), axis=1)
     rows = S[E_suffix]
     within = eidx - rows[:, 0]
     slot = jnp.clip(rows[:, 1] + within, 0, m_ilist - 1)

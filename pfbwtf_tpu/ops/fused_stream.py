@@ -123,9 +123,15 @@ def _dict_state_core(
     kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
     sa_kept = sa_all[kept_idx].astype(it)
     suf_valid = jnp.arange(nsuf_b, dtype=it) < it(nsuf_true)
-    ls = suf_len[sa_kept]
-    c1k = C1[sa_kept]
-    c2k = C2[sa_kept]
+    # one 4-column row gather instead of four separate random gathers at
+    # sa_kept (row-latency-bound on TPU; see bwt_jax.emission_state)
+    Z4 = jnp.stack(
+        (suf_len.astype(it), C1.astype(it), C2.astype(it),
+         word_id.astype(it)),
+        axis=1,
+    )
+    R4 = Z4[jnp.clip(sa_kept, 0, dict_b - 1)]
+    ls, c1k, c2k = R4[:, 0], R4[:, 1], R4[:, 2]
     eq = (
         (ls[1:] == ls[:-1])
         & (c1k[1:] == c1k[:-1])
@@ -133,7 +139,7 @@ def _dict_state_core(
         & suf_valid[1:]
     )
     gid = jnp.concatenate((jnp.zeros(1, it), jnp.cumsum((~eq).astype(it))))
-    u = jnp.clip(word_id[sa_kept], 0, jnp.maximum(dwords - 1, 0))
+    u = jnp.clip(R4[:, 3], 0, jnp.maximum(dwords - 1, 0))
 
     # ---- true byte-lex ranks from the suffix order (see fused.py) ----
     prev_sep0 = jnp.concatenate((jnp.ones(1, bool), dict_flat[:-1] <= 1))

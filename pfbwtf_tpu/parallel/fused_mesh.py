@@ -81,7 +81,7 @@ def _j3a_core(
     ss = dict_sort_part(dict_flat, w, impl)
     (
         sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
-        seg_start,
+        seg_u,
     ) = emission_state(
         dict_flat, occs, nsuf_true, w, nsuf_b, it, ss
     )
@@ -96,7 +96,7 @@ def _j3a_core(
     firstE = jnp.where(kvalid, first[eix], sent)
     gidE = jnp.where(kvalid, gid[eix], it(0))
     flagsE = jnp.where(kvalid, flags[eix], it(0))
-    baseE = jnp.where(kvalid, (seg_start[u] - first)[eix], it(0))
+    baseE = jnp.where(kvalid, (seg_u - first)[eix], it(0))
     return firstE, gidE, flagsE, baseE, ls_tab, bwlast, ilist, bwsai
 
 
