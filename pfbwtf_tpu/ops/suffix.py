@@ -475,6 +475,10 @@ def doubling_with_captures(
     it = jnp.int32 if narrow else jnp.int64
     idx = jnp.arange(n, dtype=it)
     use_radix = impl == "radix" and narrow
+    if use_radix:
+        from .radix import key_bits, radix_argsort_pair
+
+        nb = key_bits(n)
     if k_stop is None:
         k_stop = jnp.int64(n)
     # key pack by SHIFT (i64 emulated multiplies are pricier); sorts carry
@@ -516,6 +520,91 @@ def doubling_with_captures(
     # query never tests equal
     C1 = -jnp.arange(m, dtype=it) - it(1)
     C2 = C1
+    if identity:
+        # STACKED-LEVEL captures: the in-loop form gathers rank[p2]
+        # (m random lanes) and selects C1/C2 EVERY round — measured as
+        # the bulk of the 0.47 s/round loop-body fusion at 64 MB on v5e
+        # (profiler: while.23 5.9 s of a 12.5 s J3).  Instead, carry a
+        # (levels, n) rank table written with ONE row update per round
+        # (aliased in-place by XLA) and capture with ONE batched gather
+        # after the loop.  Rows beyond the executed rounds stay unwritten;
+        # such queries keep their distinct negative sentinels — exactness
+        # argument unchanged (no equal pair of that length can exist once
+        # ranks are fully distinct).
+        log2k0 = int(np.round(np.log2(k0)))
+        n_levels = max(int(np.ceil(np.log2(n + 2))) - log2k0 + 1, 1)
+        Rlev0 = jnp.zeros((n_levels, n), it)
+        Rlev0 = jax.lax.dynamic_update_slice(
+            Rlev0, rank[None].astype(it), (0, 0)
+        )
+
+        def cond_s(carry):
+            rank, k, Rlev = carry
+            return (jnp.max(rank) < n - 1) & (k < k_stop)
+
+        def body_s(carry):
+            rank, k, Rlev = carry
+            key2 = jnp.where(
+                idx.astype(jnp.int64) + k < n, jnp.roll(rank, -k), it(-1)
+            )
+            if use_radix:
+                order = radix_argsort_pair(
+                    rank, key2 + it(1), nbits_hi=nb, nbits_lo=nb
+                )
+                r_s, k_s = rank[order], key2[order]
+                changed = jnp.concatenate(
+                    (
+                        jnp.zeros(1, it),
+                        (
+                            (r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])
+                        ).astype(it),
+                    )
+                )
+                rank = invert(order, jnp.cumsum(changed))
+            elif narrow:
+                ck = (rank.astype(jnp.int64) << B) | (
+                    key2.astype(jnp.int64) + 1
+                )
+                rank = rank_of(ck)
+            else:
+                ck = rank.astype(jnp.int64) * jnp.int64(n + 1) + (
+                    key2.astype(jnp.int64) + 1
+                )
+                rank = rank_of(ck)
+            k = k * 2
+            lvl = (
+                jax.lax.population_count(k.astype(jnp.int64) - 1)
+                .astype(jnp.int32)
+                - log2k0
+            )
+            Rlev = jax.lax.dynamic_update_slice(
+                Rlev, rank[None].astype(it), (lvl, jnp.int32(0))
+            )
+            return rank, k, Rlev
+
+        rank, k_final, Rlev = jax.lax.while_loop(
+            cond_s, body_s, (rank, k0i, Rlev0)
+        )
+        lvl_q = (
+            jax.lax.population_count(t.astype(jnp.int64) - 1)
+            .astype(it)
+            - it(log2k0)
+        )
+        lvl_written = (
+            jax.lax.population_count(k_final - 1).astype(it) - it(log2k0)
+        )
+        ok = lvl_q <= lvl_written
+        lvl_c = jnp.clip(lvl_q, 0, n_levels - 1)
+        C1 = jnp.where(ok, Rlev[lvl_c, cap_pos], C1)
+        C2 = jnp.where(ok, Rlev[lvl_c, p2], C2)
+        if use_radix:
+            from .radix import radix_argsort_u32
+
+            final = radix_argsort_u32(rank, nbits=key_bits(n))
+        else:
+            final = jnp.argsort(rank)
+        return final.astype(jnp.int64), rank, C1, C2
+
     hit0 = t == it(k0)
     C1 = jnp.where(hit0, rank if identity else rank[cap_pos], C1)
     C2 = jnp.where(hit0, rank[p2], C2)
@@ -523,11 +612,6 @@ def doubling_with_captures(
     def cond(carry):
         rank, k, C1, C2 = carry
         return (jnp.max(rank) < n - 1) & (k < k_stop)
-
-    if use_radix:
-        from .radix import key_bits, radix_argsort_pair
-
-        nb = key_bits(n)
 
     def body(carry):
         rank, k, C1, C2 = carry
