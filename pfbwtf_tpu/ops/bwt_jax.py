@@ -43,7 +43,8 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
     return -(-n // step) * step
 
 
-def dict_sort_part(dict_flat, w: int, impl: str = "lax"):
+def dict_sort_part(dict_flat, w: int, impl: str = "lax",
+                   n_levels: int = None):
     """Dict suffix sort + exact equality captures + per-position metadata.
 
     Shared by assemble_core and the fused programs (ops/fused.py,
@@ -80,7 +81,7 @@ def dict_sort_part(dict_flat, w: int, impl: str = "lax"):
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - iota
     sa_all, _, C1, C2 = doubling_with_captures(
-        keys0, None, suf_len, k0=k0, impl=impl
+        keys0, None, suf_len, k0=k0, impl=impl, n_levels=n_levels
     )
     return sa_all, C1, C2, suf_len, word_id
 
@@ -210,7 +211,7 @@ def assemble_core(
     dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int, impl: str = "lax",
     sorted_state=None, seg_start=None, fanout: str = "scatter",
-    wide: bool = None,
+    wide: bool = None, n_levels: int = None,
 ):
     """Traceable emission-sort assembly body — callable standalone (below)
     or inlined into the fused whole-pipeline program (ops/fused.py).
@@ -225,7 +226,8 @@ def assemble_core(
     # reduce-windows on TPU, slow and scoped-VMEM-hungry at multi-M sizes
     it = jnp.int32 if max(D, total_b) < 2**31 - 2 else jnp.int64
     if sorted_state is None:
-        sorted_state = dict_sort_part(dict_flat, w, impl)
+        sorted_state = dict_sort_part(dict_flat, w, impl,
+                                      n_levels=n_levels)
     (
         sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
         seg_u,
@@ -387,7 +389,9 @@ def assemble_core(
 
 _assemble_device = partial(
     jax.jit,
-    static_argnames=("w", "nsuf_b", "total_b", "impl", "fanout", "wide"),
+    static_argnames=(
+        "w", "nsuf_b", "total_b", "impl", "fanout", "wide", "n_levels",
+    ),
 )(assemble_core)
 
 
@@ -425,7 +429,15 @@ def assemble_bwt_jax(
         out[: a.shape[0]] = a
         return out
 
+    from .fused import capture_levels
     from .suffix import fanout_impl
+
+    seps = np.flatnonzero(dict_flat <= 1)
+    max_len = (
+        int(np.diff(np.concatenate(([-1], seps))).max()) - 1
+        if seps.size
+        else 1
+    )
 
     bwtc, sa_vals = _assemble_device(
         jnp.asarray(pad(dict_flat, D_b)),
@@ -442,6 +454,7 @@ def assemble_bwt_jax(
         fanout=fanout_impl(),
         # test hook: force the wide multi-operand emission sort
         wide=bool(int(os.environ.get("PFBWT_EMIT_WIDE", "0"))) or None,
+        n_levels=capture_levels(max_len, w),
     )
     bwtc = np.asarray(bwtc)[:total]
     run_start = np.empty(total, dtype=bool)

@@ -65,6 +65,20 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
 # --------------------------------------------------------------------------
 
 
+def capture_levels(max_len: int, w: int) -> int:
+    """Static capture-table height for doubling_with_captures, from the
+    device-counted max dict word length: levels cover t up to
+    floor_pow2(max suffix length) (suffix lengths never exceed the word
+    length), +1 safety, rounded up to a multiple of 4 to bound the
+    number of compiled variants."""
+    from .suffix import packed_dict_keys_k0
+
+    k0 = packed_dict_keys_k0(w)
+    log2k0 = int(np.round(np.log2(k0)))
+    need = int(np.floor(np.log2(max(max_len, 1)))) - log2k0 + 2
+    return max(4, -(-need // 4) * 4)
+
+
 def speculative_nphrases(C_len: int, p: int) -> int:
     """Upper bound on nphrases used to pick J2's static bucket WITHOUT a
     device round-trip.  Cuts are `hash % p == 0` events: for hash-random
@@ -208,7 +222,9 @@ def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
     )
     sai = jnp.where(valid, ends, 0).astype(jnp.uint64)
     dict_total = jnp.sum(dict_len) + D + 1
-    meta = jnp.stack((ncuts, D, dict_total))  # one fetch sizes J3
+    # 4th sizing scalar: max dict word length bounds the capture-table
+    # height of J3's doubling (suffix.doubling_with_captures n_levels)
+    meta = jnp.stack((ncuts, D, dict_total, jnp.max(dict_len)))
     return (
         Tp,
         parse_ranks,
@@ -232,7 +248,7 @@ _parse_jits = {}
 def _j3_prep_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
     nphrases, D, dict_total,
-    w: int, dict_b: int, impl: str = "lax",
+    w: int, dict_b: int, impl: str = "lax", n_levels: int = None,
 ):
     """First half of J3 (dict-scale): dict byte array, dict suffix sort
     with captures, true word-rank recovery, parse-BWT, and the ilist
@@ -288,7 +304,7 @@ def _j3_prep_core(
     from .bwt_jax import dict_sort_part
     from .suffix import compact_indices_jax
 
-    ss = dict_sort_part(dict_flat, w, impl)
+    ss = dict_sort_part(dict_flat, w, impl, n_levels=n_levels)
     sa_all, _, _, _, word_id = ss
     prev_sep0 = jnp.concatenate(
         (jnp.ones(1, bool), dict_flat[:-1] <= 1)
@@ -331,7 +347,7 @@ def _final_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
     nphrases, D, dict_total, nsuf_true, total_true,
     w: int, dict_b: int, nsuf_b: int, total_b: int, impl: str = "lax",
-    fanout: str = "scatter",
+    fanout: str = "scatter", n_levels: int = None,
 ):
     import jax.numpy as jnp
 
@@ -340,6 +356,7 @@ def _final_core(
     dict_flat, ss, bwlast, ilist, bwsai, seg_prov = _j3_prep_core(
         Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
         nphrases, D, dict_total, w, dict_b, impl=impl,
+        n_levels=n_levels,
     )
     bwtc, sa_vals = assemble_core(
         dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
@@ -425,17 +442,22 @@ def pfbwt_fused_device(
                 partial(_parse_core, w=w, p=p, nph_b=nph_b)
             )
         state = _parse_jits[key2](dev_chars, jnp.int64(C_len))
-        meta = np.asarray(state[-1])  # SYNC 1: [ncuts, D, dict_total]
-        return state, int(meta[0]), int(meta[1]), int(meta[2])
+        # SYNC 1: [ncuts, D, dict_total, max_len]
+        meta = np.asarray(state[-1])
+        return state, int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
 
     nph_b = _bucket(speculative_nphrases(C_len, p))
-    state, ncuts, D, dict_total = run_parse(nph_b)
+    state, ncuts, D, dict_total, max_len = run_parse(nph_b)
     if ncuts == 0:
         die("error: only one dict word total. Re-run with a smaller p modulus")
     if ncuts + 1 > nph_b:  # speculative bound overflowed: exact re-run
         nph_b = _bucket(ncuts + 1)
-        state, ncuts, D, dict_total = run_parse(nph_b)
+        state, ncuts, D, dict_total, max_len = run_parse(nph_b)
     nphrases = ncuts + 1
+    # capture-table height for J3's doubling: exact need from the max
+    # dict word length (+1 safety), rounded up to a multiple of 4 so the
+    # static-arg space stays small across inputs
+    n_levels = capture_levels(max_len, w)
     (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 
     nsuf = (dict_total - 1 - D) - D * w
@@ -451,11 +473,12 @@ def pfbwt_fused_device(
         # program over its HBM-resident outputs (one extra dispatch, no
         # host transfer) — isolates the emission gathers/sort from the
         # doubling loop's buffer pressure
-        keyp = (w, dict_b, nph_b, sort_impl())
+        keyp = (w, dict_b, nph_b, sort_impl(), n_levels)
         if keyp not in _prep_jits:
             _prep_jits[keyp] = jax.jit(
                 partial(
-                    _j3_prep_core, w=w, dict_b=dict_b, impl=sort_impl()
+                    _j3_prep_core, w=w, dict_b=dict_b, impl=sort_impl(),
+                    n_levels=n_levels,
                 )
             )
         dict_flat_d, ss, bwlast_d, ilist_d, bwsai_d, seg_d = _prep_jits[
@@ -479,13 +502,13 @@ def pfbwt_fused_device(
         )
     else:
         key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl(),
-                fanout_impl())
+                fanout_impl(), n_levels)
         if key3 not in _final_jits:
             _final_jits[key3] = jax.jit(
                 partial(
                     _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
                     total_b=total_b, impl=sort_impl(),
-                    fanout=fanout_impl(),
+                    fanout=fanout_impl(), n_levels=n_levels,
                 )
             )
         bwt_d, sa_d, checksum_d = _final_jits[key3](

@@ -61,6 +61,7 @@ def _dict_state_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
     nphrases, D, dict_total, nsuf_true, chunk_target,
     w: int, dict_b: int, nsuf_b: int, max_chunks: int, impl: str = "lax",
+    n_levels: int = None,
 ):
     """Everything assemble_core computes BEFORE the total_b fan-out, plus
     the group-aligned chunk table.  Returns HBM-resident dict-scale arrays
@@ -118,7 +119,7 @@ def _dict_state_core(
     # captures (see bwt_jax.assemble_core) — no u64 hash machinery
     keys0, k0 = packed_dict_keys(dict_flat, w)
     sa_all, _, C1, C2 = doubling_with_captures(
-        keys0, None, suf_len, k0=k0, impl=impl
+        keys0, None, suf_len, k0=k0, impl=impl, n_levels=n_levels
     )
     kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
     sa_kept = sa_all[kept_idx].astype(it)
@@ -420,15 +421,16 @@ def pfbwt_fused_stream(
             )
         state = fused._parse_jits[key2](dev_chars, jnp.int64(C_len))
         meta = np.asarray(state[-1])  # SYNC 1
-        return state, int(meta[0]), int(meta[1]), int(meta[2])
+        return state, int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
 
-    state, ncuts, D, dict_total = run_parse(nph_b)
+    state, ncuts, D, dict_total, max_len = run_parse(nph_b)
     if ncuts == 0:
         die("error: only one dict word total. Re-run with a smaller p modulus")
     if ncuts + 1 > nph_b:
         nph_b = fused._bucket(ncuts + 1)
-        state, ncuts, D, dict_total = run_parse(nph_b)
+        state, ncuts, D, dict_total, max_len = run_parse(nph_b)
     nphrases = ncuts + 1
+    n_levels = fused.capture_levels(max_len, w)
     (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 
     nsuf = (dict_total - 1 - D) - D * w
@@ -436,12 +438,12 @@ def pfbwt_fused_stream(
     nsuf_b = fused._bucket(nsuf)
     impl = sort_impl()
 
-    keyA = (w, dict_b, nsuf_b, nph_b, max_chunks, impl)
+    keyA = (w, dict_b, nsuf_b, nph_b, max_chunks, impl, n_levels)
     if keyA not in _state_jits:
         _state_jits[keyA] = jax.jit(
             partial(
                 _dict_state_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
-                max_chunks=max_chunks, impl=impl,
+                max_chunks=max_chunks, impl=impl, n_levels=n_levels,
             )
         )
     (

@@ -398,6 +398,15 @@ def compact_indices_jax(mask, size: int, fill: int = 0):
     return jnp.where(out == it(n), it(fill), out)
 
 
+def packed_dict_keys_k0(w: int) -> int:
+    """The initial doubling level packed_dict_keys uses: largest power of
+    two <= min(8, w+1) bytes per key."""
+    k0 = 1
+    while k0 * 2 <= min(8, w + 1):
+        k0 *= 2
+    return k0
+
+
 def packed_dict_keys(dict_flat, w: int):
     """Initial doubling keys for the dict byte array: k0 = largest power
     of two <= min(8, w+1) RAW bytes packed big-endian into one i64, with
@@ -413,9 +422,7 @@ def packed_dict_keys(dict_flat, w: int):
     from ..constants import EndOfDict as _EOD
 
     D = dict_flat.shape[0]
-    k0 = 1
-    while k0 * 2 <= min(8, w + 1):
-        k0 *= 2
+    k0 = packed_dict_keys_k0(w)
     key = jnp.zeros(D, jnp.int64)
     for j in range(k0):
         b = dict_flat if j == 0 else jnp.concatenate(
@@ -439,7 +446,8 @@ def _floor_pow2_i32(x):
 
 
 def doubling_with_captures(
-    keys, cap_pos, cap_len, k0: int, k_stop=None, impl: str = "lax"
+    keys, cap_pos, cap_len, k0: int, k_stop=None, impl: str = "lax",
+    n_levels: int = None,
 ):
     """Prefix doubling that additionally captures, per query j, the rank
     blocks needed for O(1) EXACT substring equality (the sparse-table
@@ -532,8 +540,25 @@ def doubling_with_captures(
         # argument unchanged (no equal pair of that length can exist once
         # ranks are fully distinct).
         log2k0 = int(np.round(np.log2(k0)))
-        n_levels = max(int(np.ceil(np.log2(n + 2))) - log2k0 + 1, 1)
-        Rlev0 = jnp.zeros((n_levels, n), it)
+        # ``n_levels`` (static) bounds the table height: callers that know
+        # the true max capture length (e.g. the fused driver fetches max
+        # dict word length with its sizing scalars) pass the exact need —
+        # the worst-case bound is ceil(log2 n) rows, a 1.9 GB table at
+        # dict_b=21M that pushes the whole J3 program into XLA
+        # rematerialization.  Queries whose level exceeds the table keep
+        # their sentinels (tested below via lvl_q < n_levels), so a too-
+        # small bound degrades to "no equal pair detected at that length"
+        # — which is only correct when the bound really covers every
+        # capture level; the fused driver guarantees it from max(dict_len).
+        full_levels = max(int(np.ceil(np.log2(n + 2))) - log2k0 + 1, 1)
+        if n_levels is None:
+            n_levels = full_levels
+        n_levels = max(1, min(n_levels, full_levels))
+        # +1 trash row: rounds past the cap dump there (dynamic_update_
+        # slice CLAMPS starts, which would otherwise overwrite the last
+        # real row); capped-out queries keep sentinels via lvl_q <
+        # n_levels below
+        Rlev0 = jnp.zeros((n_levels + 1, n), it)
         Rlev0 = jax.lax.dynamic_update_slice(
             Rlev0, rank[None].astype(it), (0, 0)
         )
@@ -578,7 +603,9 @@ def doubling_with_captures(
                 - log2k0
             )
             Rlev = jax.lax.dynamic_update_slice(
-                Rlev, rank[None].astype(it), (lvl, jnp.int32(0))
+                Rlev,
+                rank[None].astype(it),
+                (jnp.minimum(lvl, n_levels), jnp.int32(0)),
             )
             return rank, k, Rlev
 
@@ -593,7 +620,7 @@ def doubling_with_captures(
         lvl_written = (
             jax.lax.population_count(k_final - 1).astype(it) - it(log2k0)
         )
-        ok = lvl_q <= lvl_written
+        ok = (lvl_q <= lvl_written) & (lvl_q < it(n_levels))
         lvl_c = jnp.clip(lvl_q, 0, n_levels - 1)
         C1 = jnp.where(ok, Rlev[lvl_c, cap_pos], C1)
         C2 = jnp.where(ok, Rlev[lvl_c, p2], C2)

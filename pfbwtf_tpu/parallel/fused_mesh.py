@@ -66,6 +66,7 @@ def _j3a_core(
     dict_flat, occs, ranks_p, last_p, sai_p,
     nphrases, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int, impl: str,
+    n_levels: int = None,
 ):
     import jax.numpy as jnp
 
@@ -78,7 +79,7 @@ def _j3a_core(
     bwlast, ilist, bwsai, _ = parse_bwt_core(
         ranks_p, last_p, sai_p, nphrases, impl=impl
     )
-    ss = dict_sort_part(dict_flat, w, impl)
+    ss = dict_sort_part(dict_flat, w, impl, n_levels=n_levels)
     (
         sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
         seg_u,
@@ -251,11 +252,21 @@ def _fused_mesh_from_parse(
         return out
 
     impl = sort_impl()
-    key3 = (w, D_b, nph_b, nsuf_b, total_b, impl)
+    from ..ops.fused import capture_levels
+
+    seps = np.flatnonzero(dict_flat <= 1)
+    max_len = (
+        int(np.diff(np.concatenate(([-1], seps))).max()) - 1
+        if seps.size
+        else 1
+    )
+    n_levels = capture_levels(max_len, w)
+    key3 = (w, D_b, nph_b, nsuf_b, total_b, impl, n_levels)
     if key3 not in _j3a_jits:
         _j3a_jits[key3] = jax.jit(
             partial(
-                _j3a_core, w=w, nsuf_b=nsuf_b, total_b=total_b, impl=impl
+                _j3a_core, w=w, nsuf_b=nsuf_b, total_b=total_b, impl=impl,
+                n_levels=n_levels,
             )
         )
     firstE, gidE, flagsE, baseE, ls_tab, bwlast, ilist, bwsai = _j3a_jits[
