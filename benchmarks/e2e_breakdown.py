@@ -58,9 +58,10 @@ def main():
     key2 = (nph_b, W, P)
     state = t("J2 parse dispatch (async)", lambda: fused._parse_jits[key2](
         dev_chars, jnp.int64(C_len)))
-    meta = t("J2 sizing fetch (3 scalars)",
+    meta = t("J2 sizing fetch (4 scalars)",
              lambda: np.asarray(state[-1]))
     ncuts, D, dict_total = int(meta[0]), int(meta[1]), int(meta[2])
+    n_levels = fused.capture_levels(int(meta[3]), W)
     assert ncuts + 1 <= nph_b, "speculative bucket overflow on bench input"
     (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 
@@ -71,7 +72,8 @@ def main():
     total_b = fused._bucket(total)
     from pfbwtf_tpu.ops.suffix import fanout_impl, sort_impl
 
-    key3 = (W, dict_b, nsuf_b, total_b, nph_b, sort_impl(), fanout_impl())
+    key3 = (W, dict_b, nsuf_b, total_b, nph_b, sort_impl(), fanout_impl(),
+            n_levels)
     out3 = t("J3 assemble dispatch (async)", lambda: fused._final_jits[key3](
         Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
         jnp.int64(ncuts + 1), jnp.int64(D), jnp.int64(dict_total),

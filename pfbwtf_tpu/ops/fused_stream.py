@@ -407,8 +407,9 @@ def pfbwt_fused_stream(
     C_len = int(C.shape[0])
     n = C_len
     n_b = fused._bucket(max(C_len, 1), 1 << 16)
-    chars_p = np.full(n_b, ord("A"), dtype=np.uint8)
+    chars_p = np.empty(n_b, dtype=np.uint8)
     chars_p[:C_len] = C
+    chars_p[C_len:] = ord("A")
     dev_chars = jax.device_put(chars_p)
 
     nph_b = fused._bucket(fused.speculative_nphrases(C_len, p))
