@@ -369,10 +369,9 @@ def _cut_mask_t(ext, blk_start, *, w: int, p: int, H: int, W_t: int,
     import jax.numpy as jnp
 
     from ..ops.hash import mod_p_u64_via_u32, wang_hash_jax, window_kmers_jax
-    from ..utils.tables import NTOA_TABLE
+    from ..utils.tables import ntoa_codes_jax
 
-    ntoa = jnp.asarray(NTOA_TABLE)
-    codes = ntoa[ext]
+    codes = ntoa_codes_jax(ext)
     km = window_kmers_jax(codes, w)[H:]
     h = wang_hash_jax(km)
     t = blk_start + jnp.arange(W_t, dtype=jnp.int64)

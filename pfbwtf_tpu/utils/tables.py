@@ -43,3 +43,28 @@ NT4_TABLE = _build_nt4()
 UPPER_TABLE = np.arange(256, dtype=np.uint8)
 for _c in range(ord("a"), ord("z") + 1):
     UPPER_TABLE[_c] = _c - 32
+
+
+def ntoa_codes_jax(chars_u8):
+    """NTOA_TABLE as arithmetic compare/selects for PRE-VALIDATED device
+    chars (the drivers die on any byte the table maps to 5 before
+    dispatch).  The 256-entry LUT gather costs ~0.6 s over a 75 M-lane
+    input on v5e (TPU gathers are ~120 M lanes/s even from tiny tables);
+    four u8 compares + selects fuse into the downstream hash scan for
+    free.  Mapping: A/a/N/n->0, C/c->1, G/g->2, T/t/'-'->3."""
+    import jax.numpy as jnp
+
+    u = chars_u8 & jnp.uint8(0xDF)  # uppercase ASCII letters
+    return jnp.where(
+        u == jnp.uint8(ord("C")),
+        jnp.uint8(1),
+        jnp.where(
+            u == jnp.uint8(ord("G")),
+            jnp.uint8(2),
+            jnp.where(
+                (u == jnp.uint8(ord("T"))) | (chars_u8 == jnp.uint8(ord("-"))),
+                jnp.uint8(3),
+                jnp.uint8(0),
+            ),
+        ),
+    )
