@@ -289,18 +289,27 @@ def assemble_core(
             )
         )  # index of the last emitter strictly before s
 
-        def fill_pc(v):
-            pv = jnp.where(
-                pe_ex >= 0, v[jnp.clip(pe_ex, 0, nsuf_b - 1)], it(0)
+        # previous-emitter values for all three filled quantities in ONE
+        # row gather (three separate v[pe_ex] gathers: the biggest was
+        # 0.43 s at 64 MB; the row form rides the extra columns free)
+        Vv = jnp.stack((gid, flags, seg_u - first), axis=1)
+        pvs = jnp.where(
+            (pe_ex >= 0)[:, None],
+            Vv[jnp.clip(pe_ex, 0, nsuf_b - 1)],
+            it(0),
+        )
+        sc_idx = jnp.where(emit, first, it(total_b))
+
+        def fill_pc(col):
+            d = jnp.zeros(total_b, it).at[sc_idx].add(
+                jnp.where(emit, Vv[:, col] - pvs[:, col], it(0)),
+                mode="drop",
             )
-            d = jnp.zeros(total_b, it).at[
-                jnp.where(emit, first, it(total_b))
-            ].add(jnp.where(emit, v - pv, it(0)), mode="drop")
             return jnp.cumsum(d)
 
-        gid_lane = fill_pc(gid)
-        flags_lane = fill_pc(flags)
-        base_lane = fill_pc(seg_u - first)
+        gid_lane = fill_pc(0)
+        flags_lane = fill_pc(1)
+        base_lane = fill_pc(2)
         slot = jnp.clip(eidx + base_lane, 0, m_ilist - 1)
         E_j = ilist.astype(it)[slot]
         key = (
