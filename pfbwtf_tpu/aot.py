@@ -1,0 +1,142 @@
+"""Ahead-of-time compiled-executable store for the bench-critical programs.
+
+The persistent XLA compilation cache (jax_compilation_cache_dir) removes
+*compilation* cost, but a cache lookup still requires tracing + lowering the
+program and hashing the lowered module — for the fused pipeline's two giant
+programs that Python-side work measures ~8 minutes on the 2-vCPU bench VM,
+which is what blew the driver's 900 s budget in rounds 3 and 4 even with a
+fully warmed cache in the repo.
+
+This module skips tracing entirely: `jax.experimental.serialize_executable`
+pickles the *compiled* PJRT executable (with its in/out trees), keyed by
+(program name, static config, argument avals, jax version, device kind).
+Measured on the axon v5e tunnel: deserialize_and_load 0.05 s, first call
+0.5 s — versus minutes for trace+lower of the same program.
+
+Role in the reference: none (the C++ binaries are AOT by construction,
+src/pfbwt-f.cpp is a normal compiled program); this is TPU-runtime
+engineering so the JAX pipeline starts as fast as a compiled binary.
+
+Behavior:
+  * `PFBWT_AOT_DIR` unset  -> default `<repo>/bench_aot` (committed blobs).
+  * `PFBWT_AOT_DIR=""`     -> AOT disabled (plain jit path).
+  * `PFBWT_AOT_SAVE=1`     -> on a miss, compile ahead of time and write the
+                              blob (used by scripts/warm_bench_aot.py).
+Any load/save error falls back silently to the plain jit path — AOT is a
+fast-path only, never a correctness dependency.
+"""
+
+import hashlib
+import os
+import pickle
+import sys
+import zlib
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def aot_dir():
+    d = os.environ.get("PFBWT_AOT_DIR")
+    if d is not None:
+        return d or None  # empty string disables
+    default = os.path.join(_REPO_ROOT, "bench_aot")
+    return default if os.path.isdir(default) else None
+
+
+def _shape_sig(args):
+    parts = []
+    for a in args:
+        dt = getattr(a, "dtype", None)
+        parts.append(f"{dt}:{tuple(getattr(a, 'shape', ()))}")
+    return ";".join(parts)
+
+
+def _fingerprint(name, static_key, args):
+    import jax
+
+    dev = jax.devices()[0]
+    raw = "|".join(
+        (
+            name,
+            repr(static_key),
+            _shape_sig(args),
+            jax.__version__,
+            getattr(dev, "device_kind", str(dev)),
+            str(bool(jax.config.jax_enable_x64)),
+        )
+    )
+    return hashlib.sha256(raw.encode()).hexdigest()[:20]
+
+
+def _blob_path(d, name, fp):
+    return os.path.join(d, f"{name}-{fp}.aot")
+
+
+def try_load(name, static_key, args):
+    """Load a serialized executable for this (program, config, avals) if a
+    blob exists.  Returns a callable or None."""
+    d = aot_dir()
+    if not d:
+        return None
+    path = _blob_path(d, name, _fingerprint(name, static_key, args))
+    if not os.path.exists(path):
+        return None
+    try:
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load,
+        )
+
+        with open(path, "rb") as fh:
+            payload, in_tree, out_tree = pickle.loads(
+                zlib.decompress(fh.read())
+            )
+        return deserialize_and_load(payload, in_tree, out_tree)
+    except Exception as e:  # noqa: BLE001 — fast path only
+        print(f"aot: load failed for {name} ({e}); falling back to jit",
+              file=sys.stderr)
+        return None
+
+
+def compile_and_save(name, static_key, jitted, args):
+    """AOT-compile `jitted` at args' avals, write the blob, and return the
+    compiled executable (or None on failure)."""
+    d = aot_dir()
+    if not d:
+        return None
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        compiled = jitted.lower(*args).compile()
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(d, exist_ok=True)
+        path = _blob_path(d, name, _fingerprint(name, static_key, args))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(zlib.compress(
+                pickle.dumps((payload, in_tree, out_tree)), 1
+            ))
+        os.replace(tmp, path)
+        return compiled
+    except Exception as e:  # noqa: BLE001
+        print(f"aot: save failed for {name} ({e})", file=sys.stderr)
+        return None
+
+
+def maybe_aot(name, static_key, make_jit, args, cache):
+    """Resolve a callable for this program: process-memoized -> AOT blob ->
+    plain jit (optionally AOT-saving it when PFBWT_AOT_SAVE=1).
+
+    `cache` is the caller's per-program dict (keyed here by static config +
+    argument avals so shape-bucket changes re-resolve)."""
+    key = (name, static_key, _shape_sig(args))
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+    fn = try_load(name, static_key, args)
+    if fn is None:
+        jitted = make_jit()
+        fn = jitted
+        if os.environ.get("PFBWT_AOT_SAVE") == "1":
+            fn = compile_and_save(name, static_key, jitted, args) or jitted
+    cache[key] = fn
+    return fn

@@ -441,6 +441,16 @@ def assemble_bwt_jax(
     from .fused import capture_levels
     from .suffix import fanout_impl
 
+    # invariant guard (ADVICE r4): the max-word-length derivation below —
+    # and dict_sort_part's suffix lengths — assume the dict byte array is
+    # separator-terminated.  A violation would undersize n_levels and
+    # silently corrupt equality captures, so fail loudly here instead.
+    if D == 0 or dict_flat[-1] > 1:
+        raise ValueError(
+            "assemble_bwt_jax: dict_flat must end with a separator byte "
+            "(EndOfWord/EndOfDict) — got "
+            f"{int(dict_flat[-1]) if D else 'empty'}"
+        )
     seps = np.flatnonzero(dict_flat <= 1)
     max_len = (
         int(np.diff(np.concatenate(([-1], seps))).max()) - 1

@@ -257,6 +257,316 @@ _parse_jits = {}
 
 
 # --------------------------------------------------------------------------
+# J2 (streamed): chunked parse for inputs past the monolithic J2's HBM
+# ceiling
+# --------------------------------------------------------------------------
+
+
+def speculative_chunk_phrases(L: int, p: int) -> int:
+    """Static per-chunk phrase window for the streamed J2 (same Binomial
+    bound as speculative_nphrases, over one chunk's positions)."""
+    exp = L / max(p, 1)
+    return _bucket(int(exp + 8.0 * exp**0.5 + 4096.0))
+
+
+def _parse_core_stream(
+    chars_p, C_len, w: int, p: int, nph_b: int, n_chunks: int,
+    m_max: int,
+):
+    """Streamed J2: identical contract to _parse_core, but nothing of
+    length T' is ever materialized at 64-bit width.  The monolithic J2's
+    ceiling is _substring_hashes_dev (four u64 arrays of T' length: ~8.6 GB
+    HBM at 256 MB input, ~17 GB at 512 MB — the round-4 GB-scale blocker);
+    here the polynomial prefix sums F[i] = sum_{j<i} c_j*base^j are
+    computed by a lax.scan over T' chunks carrying (F, base^chunk_start)
+    scalars, and F is sampled ONLY at the phrase start/end positions that
+    fall inside the live chunk (a dynamic-slice window of the
+    position-sorted phrase arrays — phrases are position-ordered, so each
+    chunk sees a contiguous window).  The cut-index compaction (an n-scale
+    i32 sort in the monolithic J2) likewise becomes a scan with a carried
+    count + per-chunk scatter.
+
+    h(s,e) = (F[e] - F[s]) * inv_base^s  ==  the monolithic
+    (G[s] - G[e]) * inv_base^s  (forward-vs-reverse prefix identity), so
+    dedup keys are bit-identical to _parse_core's.
+
+    meta gains a 5th scalar: max phrases per chunk (the driver re-runs
+    with a wider m_max window on overflow — same speculative-bound
+    pattern as nph_b).  Reference role: 64-bit mode + mmap scaling
+    (pfparser.hpp:326-331, README.md:23-24).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .hash import hash_scan_jax
+    from .suffix import cumsum_u64_jax, pow_u64_jax
+
+    from ..utils.tables import ntoa_codes_jax
+
+    n_b = chars_p.shape[0]
+    codes = ntoa_codes_jax(chars_p)
+    _, cut = hash_scan_jax(codes, w, p)
+    sidx = jnp.arange(n_b, dtype=jnp.int64)
+    cut = cut & (sidx < C_len)
+    ncuts = jnp.sum(cut.astype(jnp.int64))
+    it = jnp.int32 if n_b < 2**31 - 2 else jnp.int64
+
+    tb = n_b + w + 1
+    tidx = jnp.arange(tb, dtype=jnp.int64)
+    shifted = jnp.concatenate(
+        (
+            jnp.full(1, Dollar, jnp.uint8),
+            chars_p,
+            jnp.zeros(w, jnp.uint8),
+        )
+    )
+    Tp = jnp.where(tidx > C_len, jnp.uint8(Dollar), shifted)
+
+    # ---- scan A: chunked cut-index compaction (carried count+scatter;
+    # the monolithic compact_indices_jax sorts n-scale i32 operands) ----
+    Lc = -(-n_b // n_chunks)
+    padc = n_chunks * Lc - n_b
+    cut_p = jnp.concatenate((cut, jnp.zeros(padc, bool))) if padc else cut
+
+    def body_a(carry, k):
+        cnt, buf = carry
+        cm = jax.lax.dynamic_slice(cut_p, (k * Lc,), (Lc,))
+        loc = jnp.cumsum(cm.astype(jnp.int32))
+        gpos = (k.astype(jnp.int64) * Lc) + jnp.arange(Lc, dtype=jnp.int64)
+        slot = jnp.where(cm, cnt + loc.astype(jnp.int64) - 1,
+                         jnp.int64(nph_b))
+        buf = buf.at[slot].set(gpos, mode="drop", unique_indices=True)
+        return (cnt + loc[-1].astype(jnp.int64), buf), None
+
+    (_, cuts), _ = jax.lax.scan(
+        body_a,
+        (jnp.int64(0), jnp.full(nph_b, jnp.int64(n_b))),
+        jnp.arange(n_chunks, dtype=jnp.int32),
+    )
+
+    # ---- phrase bounds (nph-scale, identical to _parse_core) ----
+    k = jnp.arange(nph_b, dtype=jnp.int64)
+    valid = k <= ncuts
+    ends = jnp.where(k < ncuts, cuts + 1, C_len + w)
+    prev_end = jnp.concatenate((jnp.zeros(1, jnp.int64), ends[:-1]))
+    starts = jnp.where(k == 0, 0, prev_end - w + 1)
+    lens = jnp.where(valid, ends - starts + 1, 0)
+
+    # ---- scan B: F sampled at phrase endpoints, chunk by chunk ----
+    # tb+1: the last phrase's end position is tb itself (F[tb] = full
+    # prefix sum), so the chunk grid must strictly cover position tb
+    Lh = -(-(tb + 1) // n_chunks)
+    # round the chunk length to the u64-cumsum block grid so the in-chunk
+    # limb scans stay aligned
+    Lh = -(-Lh // (1 << 15)) * (1 << 15)
+    padh = n_chunks * Lh - tb
+    Tp_p = jnp.concatenate(
+        (Tp, jnp.full(padh, jnp.uint8(Dollar)))
+    ) if padh else Tp
+
+    s_cl = jnp.clip(starts, 0, tb - 1)
+    e_cl = jnp.clip(starts + lens, 0, tb)
+    # position-sorted query windows: phrases are position-ordered, so the
+    # ones whose start (resp. end) lies in chunk kc form the contiguous
+    # index range [lo[kc], lo[kc+1]).  Buffers padded by m_max so the
+    # dynamic slices never clamp-shift.
+    grid = jnp.arange(n_chunks + 1, dtype=jnp.int64) * Lh
+    # invalid-lane sentinel must sort past EVERY grid point (not just tb):
+    # otherwise the tail chunk's window would count the bucket-pad lanes
+    # and trigger spurious m_max overflows
+    sent = jnp.int64(1) << jnp.int64(62)
+    lo_s = jnp.searchsorted(
+        jnp.where(valid, s_cl, sent), grid, side="left"
+    ).astype(jnp.int32)
+    lo_e = jnp.searchsorted(
+        jnp.where(valid, e_cl, sent), grid, side="left"
+    ).astype(jnp.int32)
+    per_chunk_s = jnp.max(lo_s[1:] - lo_s[:-1])
+    per_chunk_e = jnp.max(lo_e[1:] - lo_e[:-1])
+    m_over = jnp.maximum(per_chunk_s, per_chunk_e)
+
+    def padq(a, fill):
+        return jnp.concatenate((a, jnp.full(m_max, fill, a.dtype)))
+
+    s_q = padq(s_cl, jnp.int64(0))
+    e_q = padq(e_cl, jnp.int64(0))
+
+    pow1 = pow_u64_jax(int(_HB1), Lh)
+    pow2 = pow_u64_jax(int(_HB2), Lh)
+    step1 = jnp.uint64(pow(int(_HB1), Lh, 1 << 64))
+    step2 = jnp.uint64(pow(int(_HB2), Lh, 1 << 64))
+
+    def body_b(carry, kc):
+        F1, F2, bp1, bp2, Gs1, Ge1, Gs2, Ge2 = carry
+        base_pos = kc.astype(jnp.int64) * Lh
+        c = jax.lax.dynamic_slice(Tp_p, (base_pos,), (Lh,)).astype(
+            jnp.uint64
+        )
+        # F within chunk, exclusive, at global scale: F_glob(base+j) =
+        # F_carry + bp * excl_cumsum(c * pow_local)[j]
+        t1 = c * pow1
+        t2 = c * pow2
+        cs1 = cumsum_u64_jax(t1)
+        cs2 = cumsum_u64_jax(t2)
+        ex1 = jnp.concatenate((jnp.zeros(1, jnp.uint64), cs1[:-1]))
+        ex2 = jnp.concatenate((jnp.zeros(1, jnp.uint64), cs2[:-1]))
+
+        def sample(lo_row, q_pos, G1, G2):
+            lo = lo_row
+            qs = jax.lax.dynamic_slice(q_pos, (lo.astype(jnp.int64),),
+                                       (m_max,))
+            j = qs - base_pos
+            ok = (j >= 0) & (j < Lh)
+            jc = jnp.clip(j, 0, Lh - 1)
+            v1 = F1 + bp1 * ex1[jc]
+            v2 = F2 + bp2 * ex2[jc]
+            w1 = jax.lax.dynamic_slice(G1, (lo.astype(jnp.int64),),
+                                       (m_max,))
+            w2 = jax.lax.dynamic_slice(G2, (lo.astype(jnp.int64),),
+                                       (m_max,))
+            G1 = jax.lax.dynamic_update_slice(
+                G1, jnp.where(ok, v1, w1), (lo.astype(jnp.int64),)
+            )
+            G2 = jax.lax.dynamic_update_slice(
+                G2, jnp.where(ok, v2, w2), (lo.astype(jnp.int64),)
+            )
+            return G1, G2
+
+        Gs1, Gs2 = sample(lo_s[kc], s_q, Gs1, Gs2)
+        Ge1, Ge2 = sample(lo_e[kc], e_q, Ge1, Ge2)
+        F1 = F1 + bp1 * cs1[-1]
+        F2 = F2 + bp2 * cs2[-1]
+        return (F1, F2, bp1 * step1, bp2 * step2, Gs1, Ge1, Gs2, Ge2), None
+
+    zeros_q = jnp.zeros(nph_b + m_max, jnp.uint64)
+    (_, _, _, _, Gs1, Ge1, Gs2, Ge2), _ = jax.lax.scan(
+        body_b,
+        (jnp.uint64(0), jnp.uint64(0), jnp.uint64(1), jnp.uint64(1),
+         zeros_q, zeros_q, zeros_q, zeros_q),
+        jnp.arange(n_chunks, dtype=jnp.int32),
+    )
+
+    # h(s,e) = (F[e]-F[s]) * inv_base^s, evaluated at the nph positions
+    def inv_pow_at(base, su):
+        ipow = pow(int(base), -1, 1 << 64)
+        inv_s = jnp.ones(su.shape[0], jnp.uint64)
+        for j in range(max(int(np.ceil(np.log2(tb + 1))), 1)):
+            sq = np.uint64(pow(ipow, 1 << j, 1 << 64))
+            inv_s = jnp.where(
+                (su >> jnp.uint64(j)) & jnp.uint64(1) == jnp.uint64(1),
+                inv_s * sq,
+                inv_s,
+            )
+        return inv_s
+
+    su = s_cl.astype(jnp.uint64)
+    h1 = jnp.where(
+        valid, (Ge1[:nph_b] - Gs1[:nph_b]) * inv_pow_at(_HB1, su), 0
+    )
+    h2 = jnp.where(
+        valid, (Ge2[:nph_b] - Gs2[:nph_b]) * inv_pow_at(_HB2, su), 0
+    )
+
+    # ---- dedup + per-occurrence metadata (identical to _parse_core) ----
+    key_l = jnp.where(valid, lens, jnp.int64(-1) - k)
+    inv = (~valid).astype(jnp.int64)
+    order = jnp.lexsort((h2, h1, key_l, inv))
+    l_o, h1_o, h2_o, v_o = key_l[order], h1[order], h2[order], valid[order]
+    head = jnp.concatenate(
+        (
+            jnp.ones(1, bool),
+            (l_o[1:] != l_o[:-1])
+            | (h1_o[1:] != h1_o[:-1])
+            | (h2_o[1:] != h2_o[:-1]),
+        )
+    )
+    gid_sorted = (jnp.cumsum(head.astype(it)) - 1).astype(jnp.int64)
+    D = jnp.sum((head & v_o).astype(jnp.int64))
+    gid = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[order]
+        .set(gid_sorted, unique_indices=True, mode="promise_in_bounds")
+    )
+    rep_start = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[gid_sorted]
+        .add(jnp.where(head, starts[order], 0), mode="drop")
+    )
+    rep_len = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[gid_sorted]
+        .add(jnp.where(head, lens[order], 0), mode="drop")
+    )
+    group_counts = (
+        jnp.zeros(nph_b, jnp.int64)
+        .at[gid]
+        .add(jnp.where(valid, 1, 0), mode="drop")
+    )
+    rep_valid = jnp.arange(nph_b, dtype=jnp.int64) < D
+    dict_start = rep_start * rep_valid
+    dict_len = rep_len * rep_valid
+    occs = group_counts * rep_valid
+    parse_ranks = jnp.where(valid, jnp.clip(gid, 0, nph_b - 1) + 1, 0)
+    last = jnp.where(
+        valid, Tp[jnp.clip(ends - w, 0, tb - 1)], jnp.uint8(0)
+    )
+    sai = jnp.where(valid, ends, 0).astype(jnp.uint64)
+    dict_total = jnp.sum(dict_len) + D + 1
+    meta = jnp.stack(
+        (ncuts, D, dict_total, jnp.max(dict_len), m_over.astype(jnp.int64))
+    )
+    return (
+        Tp,
+        parse_ranks,
+        occs,
+        dict_start,
+        dict_len,
+        last,
+        sai,
+        meta,
+    )
+
+
+_parse_stream_jits = {}
+
+
+def run_parse_stream(dev_chars, C_len, w, p, nph_b, chunk_target=32 << 20):
+    """Dispatch the streamed J2 with speculative (nph_b, m_max) windows,
+    re-running at exact sizes on the rare overflow.  Returns
+    (state, ncuts, D, dict_total, max_len)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_b = dev_chars.shape[0]
+    n_chunks = max(-(-n_b // chunk_target), 1)
+
+    def dispatch(nph_b, m_max):
+        key = (nph_b, n_chunks, m_max, w, p)
+        if key not in _parse_stream_jits:
+            _parse_stream_jits[key] = jax.jit(
+                partial(
+                    _parse_core_stream, w=w, p=p, nph_b=nph_b,
+                    n_chunks=n_chunks, m_max=m_max,
+                )
+            )
+        state = _parse_stream_jits[key](dev_chars, jnp.int64(C_len))
+        meta = np.asarray(state[-1])  # SYNC 1
+        return state, [int(x) for x in meta]
+
+    m_max = speculative_chunk_phrases(
+        -(-n_b // n_chunks), p
+    )
+    state, (ncuts, D, dict_total, max_len, m_over) = dispatch(nph_b, m_max)
+    if ncuts + 1 > nph_b or m_over > m_max:
+        nph_b = _bucket(max(ncuts + 1, nph_b))
+        m_max = max(m_max, _bucket(m_over))
+        state, (ncuts, D, dict_total, max_len, m_over) = dispatch(
+            nph_b, m_max
+        )
+    return state, ncuts, D, dict_total, max_len
+
+
+# --------------------------------------------------------------------------
 # J3: dict bytes + parse-BWT + assembly
 # --------------------------------------------------------------------------
 
@@ -455,13 +765,16 @@ def pfbwt_fused_device(
     chars_p[C_len:] = ord("A")
     dev_chars = jax.device_put(chars_p)
 
+    from ..aot import maybe_aot
+
     def run_parse(nph_b):
         key2 = (nph_b, w, p)
-        if key2 not in _parse_jits:
-            _parse_jits[key2] = jax.jit(
-                partial(_parse_core, w=w, p=p, nph_b=nph_b)
-            )
-        state = _parse_jits[key2](dev_chars, jnp.int64(C_len))
+        fn = maybe_aot(
+            "fused_j2", key2,
+            lambda: jax.jit(partial(_parse_core, w=w, p=p, nph_b=nph_b)),
+            (dev_chars, jnp.int64(C_len)), _parse_jits,
+        )
+        state = fn(dev_chars, jnp.int64(C_len))
         # SYNC 1: [ncuts, D, dict_total, max_len]
         meta = np.asarray(state[-1])
         return state, int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
@@ -523,19 +836,23 @@ def pfbwt_fused_device(
     else:
         key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl(),
                 fanout_impl(), n_levels)
-        if key3 not in _final_jits:
-            _final_jits[key3] = jax.jit(
+        j3_args = (
+            Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
+            jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
+            jnp.int64(nsuf), jnp.int64(total),
+        )
+        fn3 = maybe_aot(
+            "fused_j3", key3,
+            lambda: jax.jit(
                 partial(
                     _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
                     total_b=total_b, impl=sort_impl(),
                     fanout=fanout_impl(), n_levels=n_levels,
                 )
-            )
-        bwt_d, sa_d, checksum_d = _final_jits[key3](
-            Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
-            jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
-            jnp.int64(nsuf), jnp.int64(total),
+            ),
+            j3_args, _final_jits,
         )
+        bwt_d, sa_d, checksum_d = fn3(*j3_args)
     if not fetch:
         return (bwt_d, sa_d), int(np.asarray(checksum_d))
 

@@ -34,6 +34,7 @@ fetches (file-writing mode).  Between J3e dispatches everything stays in
 HBM.
 """
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -41,6 +42,7 @@ import numpy as np
 
 from ..constants import EndOfDict, EndOfWord
 from ..utils.errors import die
+from ..utils.tables import NTOA_TABLE
 
 _I64MAX = np.int64(np.iinfo(np.int64).max)
 
@@ -404,6 +406,17 @@ def pfbwt_fused_stream(
     if fetch is None:
         fetch = bwt_fp is not None or sa_fp is not None or want_rssa
 
+    # same validation gate as pfbwt_fused_device: _parse_core's arithmetic
+    # NTOA mapping assumes pre-validated input — without this, invalid
+    # bytes (IUPAC wobble codes etc.) would silently hash as 'A' instead
+    # of hitting the reference's fatal invalid-character path
+    codes_chk = NTOA_TABLE[C]
+    if codes_chk.size and codes_chk.max() > 3:
+        bad = C[codes_chk > 3][0]
+        die(f"invalid character {bad}/{chr(bad)} in input "
+            "(use --non-acgt-to-a)")
+    del codes_chk
+
     C_len = int(C.shape[0])
     n = C_len
     n_b = fused._bucket(max(C_len, 1), 1 << 16)
@@ -414,23 +427,46 @@ def pfbwt_fused_stream(
 
     nph_b = fused._bucket(fused.speculative_nphrases(C_len, p))
 
-    def run_parse(nph_b):
-        key2 = (nph_b, w, p)
-        if key2 not in fused._parse_jits:
-            fused._parse_jits[key2] = jax.jit(
-                partial(fused._parse_core, w=w, p=p, nph_b=nph_b)
-            )
-        state = fused._parse_jits[key2](dev_chars, jnp.int64(C_len))
-        meta = np.asarray(state[-1])  # SYNC 1
-        return state, int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3])
+    # Streamed J2 (chunked lax.scan, no T'-length u64 arrays): the
+    # monolithic J2's substring-hash machinery caps on-chip input at
+    # ~256 MB (~8.6 GB HBM); past that the chunked form is mandatory.
+    # PFBWT_J2_STREAM=1/0 forces it; default switches at 192 MB.
+    j2s_env = os.environ.get("PFBWT_J2_STREAM", "auto").lower()
+    use_j2_stream = (
+        j2s_env == "1"
+        or (j2s_env not in ("0", "1") and C_len > (192 << 20))
+    )
+    if use_j2_stream:
+        j2_chunk = int(
+            os.environ.get("PFBWT_J2_CHUNK", str(64 << 20))
+        )
+        state, ncuts, D, dict_total, max_len = fused.run_parse_stream(
+            dev_chars, C_len, w, p, nph_b, chunk_target=j2_chunk
+        )
+        if ncuts == 0:
+            die("error: only one dict word total. "
+                "Re-run with a smaller p modulus")
+        nphrases = ncuts + 1
+    else:
+        def run_parse(nph_b):
+            key2 = (nph_b, w, p)
+            if key2 not in fused._parse_jits:
+                fused._parse_jits[key2] = jax.jit(
+                    partial(fused._parse_core, w=w, p=p, nph_b=nph_b)
+                )
+            state = fused._parse_jits[key2](dev_chars, jnp.int64(C_len))
+            meta = np.asarray(state[-1])  # SYNC 1
+            return (state, int(meta[0]), int(meta[1]), int(meta[2]),
+                    int(meta[3]))
 
-    state, ncuts, D, dict_total, max_len = run_parse(nph_b)
-    if ncuts == 0:
-        die("error: only one dict word total. Re-run with a smaller p modulus")
-    if ncuts + 1 > nph_b:
-        nph_b = fused._bucket(ncuts + 1)
         state, ncuts, D, dict_total, max_len = run_parse(nph_b)
-    nphrases = ncuts + 1
+        if ncuts == 0:
+            die("error: only one dict word total. "
+                "Re-run with a smaller p modulus")
+        if ncuts + 1 > nph_b:
+            nph_b = fused._bucket(ncuts + 1)
+            state, ncuts, D, dict_total, max_len = run_parse(nph_b)
+        nphrases = ncuts + 1
     n_levels = fused.capture_levels(max_len, w)
     (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 

@@ -254,6 +254,14 @@ def _fused_mesh_from_parse(
     impl = sort_impl()
     from ..ops.fused import capture_levels
 
+    # invariant guard (ADVICE r4): max_len below assumes a separator-
+    # terminated dict byte array; an unterminated tail word would
+    # undersize n_levels and silently corrupt the equality captures
+    if D == 0 or dict_flat[-1] > 1:
+        raise ValueError(
+            "fused_mesh: dict_flat must end with a separator byte "
+            "(EndOfWord/EndOfDict)"
+        )
     seps = np.flatnonzero(dict_flat <= 1)
     max_len = (
         int(np.diff(np.concatenate(([-1], seps))).max()) - 1
