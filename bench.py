@@ -120,23 +120,43 @@ def make_pangenome_input(size_mb: int):
     return fasta
 
 
-def bench_device_e2e(fasta):
+def bench_device_e2e(fasta, size_mb=None):
     """Fused on-chip pipeline wall-clock (all dispatches + syncs included;
     outputs HBM-resident, checksum fetch forces completion).  Returns
-    (seconds, processed_bytes)."""
+    (seconds, processed_bytes).  If the AOT store recorded an expected
+    checksum for this input, a mismatch raises — a stale executable must
+    fall through to the slower-but-correct paths, never report a wrong
+    result's timing."""
     from pfbwtf_tpu.io.fasta import read_fasta_bytes
     from pfbwtf_tpu.ops.fused import pfbwt_fused_device
     from pfbwtf_tpu.ops.parse import ParserParams, build_stream
 
     records = read_fasta_bytes(fasta)
     C, _, _ = build_stream(records, ParserParams(w=W, p=P))
-    pfbwt_fused_device(C, W, P, fetch=False)  # compile + warm
+    _, checksum = pfbwt_fused_device(C, W, P, fetch=False)  # compile+warm
+    expected = _expected_checksum(size_mb)
+    if expected is not None and int(checksum) != expected:
+        raise RuntimeError(
+            f"pipeline checksum {checksum} != recorded {expected} "
+            "(stale AOT executable?)"
+        )
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
         _, _checksum = pfbwt_fused_device(C, W, P, fetch=False)
         times.append(time.perf_counter() - t0)
     return min(times), C.size
+
+
+def _expected_checksum(size_mb):
+    if size_mb is None:
+        return None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_aot", "checksums.json")) as fh:
+            return int(json.load(fh).get(str(size_mb)))
+    except (OSError, TypeError, ValueError):
+        return None
 
 
 def bench_device_scan(codes):
@@ -255,7 +275,7 @@ def main():
             try:
                 fasta = make_pangenome_input(size_mb)
                 signal.alarm(max(int(remaining), 1))
-                ours_t, nbytes = bench_device_e2e(fasta)
+                ours_t, nbytes = bench_device_e2e(fasta, size_mb)
                 signal.alarm(0)
                 best = (size_mb, ours_t, nbytes, fasta)
                 completed.append(size_mb)

@@ -51,6 +51,39 @@ def _shape_sig(args):
     return ";".join(parts)
 
 
+# Modules whose source shapes the fused programs: any edit to these must
+# invalidate the stored executables (a stale blob would silently run the
+# OLD algorithm — no test would catch it on CPU, because CPU runs never
+# load TPU blobs).  Re-run scripts/warm_bench_aot.py after changing them.
+_SOURCE_DEPS = (
+    "constants.py",
+    "ops/fused.py",
+    "ops/bwt_jax.py",
+    "ops/suffix.py",
+    "ops/parse_bwt.py",
+    "ops/hash.py",
+    "ops/radix.py",
+    "utils/tables.py",
+)
+
+_src_digest_cache = None
+
+
+def _source_digest():
+    global _src_digest_cache
+    if _src_digest_cache is None:
+        h = hashlib.sha256()
+        pkg = os.path.dirname(os.path.abspath(__file__))
+        for rel in _SOURCE_DEPS:
+            try:
+                with open(os.path.join(pkg, rel), "rb") as fh:
+                    h.update(fh.read())
+            except OSError:
+                h.update(b"missing:" + rel.encode())
+        _src_digest_cache = h.hexdigest()[:16]
+    return _src_digest_cache
+
+
 def _fingerprint(name, static_key, args):
     import jax
 
@@ -63,6 +96,11 @@ def _fingerprint(name, static_key, args):
             jax.__version__,
             getattr(dev, "device_kind", str(dev)),
             str(bool(jax.config.jax_enable_x64)),
+            _source_digest(),
+            # trace-time env knobs that alter program content without
+            # appearing in the callers' static keys
+            os.environ.get("PFBWT_DBL_INV", "sort"),
+            os.environ.get("PFBWT_EMIT_WIDE", "0"),
         )
     )
     return hashlib.sha256(raw.encode()).hexdigest()[:20]

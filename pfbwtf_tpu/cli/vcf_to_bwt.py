@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--device", action="store_true",
                     help="device-resident pipeline (scan, dict sort, "
                          "parse-BWT, assembly, SA->MA on the accelerator)")
+    ap.add_argument("--fused", action="store_true",
+                    help="HBM-chained whole-pipeline device run for the "
+                         "parse->BWT->SA stages (no checkpoint files)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="fused mesh pipeline: collective parse + "
+                         "distributed emission sort over the device mesh")
     args = ap.parse_args(argv)
     if args.device:
         from ..engine import enable_device_pipeline
@@ -63,6 +69,8 @@ def main(argv=None):
         threads=args.threads,
         dtype=formats.U32 if args.u32 else formats.U64,
         contigs=[c for c in args.contigs.split(",") if c] or None,
+        fused=args.fused,
+        mesh=args.mesh,
     )
     vcf_to_bwt(cfg)
     return 0

@@ -53,6 +53,12 @@ class VcfToBwtConfig:
     dtype: np.dtype = formats.U64
     backend: Optional[str] = None  # 'jax' | 'numpy' | None = auto
     contigs: Optional[List[str]] = None  # restrict (index-seek if .csi/.tbi)
+    # HBM-chained device pipeline for the parse->BWT->SA stages (the
+    # north-star config-5 path: ops/fused.py or parallel/fused_mesh.py
+    # instead of the staged engine).  fused skips the .parse/.dict/...
+    # checkpoint files (there is no host-visible parse to save).
+    fused: bool = False
+    mesh: bool = False
 
 
 _SCAN_CTX = None  # (vcf, cfg) set in each worker by _scan_init
@@ -211,6 +217,21 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         store_docs=True,
         non_acgt_to_a=True,
     )
+    want_sa_vals = cfg.sa or cfg.ma
+
+    if cfg.fused or cfg.mesh:
+        # config-5 device path: the parse->parse-BWT->assembly triple runs
+        # as the HBM-chained fused pipeline (reference equivalence: the
+        # same vcf_to_bwt.py:242-287 stages, fused on-device)
+        if cfg.keep_parse:
+            log.info("fused pipeline: no host-visible parse exists, "
+                     ".parse/.dict checkpoint files are skipped")
+        bwt_res = _fused_stages(
+            cfg, log, all_records, params, want_sa_vals
+        )
+        _write_bwt_outputs(cfg, log, bwt_res, n=bwt_res.bwt.shape[0] - 1)
+        return bwt_res
+
     log.info("parsing haplotype collection (%d records)", len(all_records))
     with task_timer("parsing collection"):
         res = engine.parse_records(all_records, params, cfg.backend)
@@ -224,7 +245,6 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         formats.write_uint(cfg.output + ".ilist", pb.ilist, cfg.dtype)
         formats.write_uint(cfg.output + ".bwsai", pb.bwsai, cfg.dtype)
 
-    want_sa_vals = cfg.sa or cfg.ma
     log.info("constructing BWT%s of text collection",
              " + SA" if want_sa_vals else "")
     with task_timer("generating final BWT"):
@@ -241,6 +261,42 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
             sa_dtype=cfg.dtype,
             backend=cfg.backend,
         )
+    _write_bwt_outputs(cfg, log, bwt_res, n=res.n)
+    return bwt_res
+
+
+def _fused_stages(cfg, log, all_records, params, want_sa_vals):
+    """parse -> parse-BWT -> assembly as ONE device chain: the monolithic
+    fused pipeline, or the fused mesh pipeline when cfg.mesh (collective
+    parse + distributed emission sort on the local device mesh)."""
+    if cfg.mesh:
+        from ..parallel.fused_mesh import pfbwt_fused_mesh_records
+        from ..parallel.sharded import make_parse_mesh
+
+        log.info("fused mesh pipeline over haplotype collection "
+                 "(%d records)", len(all_records))
+        with task_timer("fused mesh pipeline (parse+pfbwt)"):
+            return pfbwt_fused_mesh_records(
+                all_records, params, make_parse_mesh(),
+                want_sa=want_sa_vals, want_rssa=cfg.rssa,
+                sa_dtype=cfg.dtype,
+            )
+    from ..ops.fused import pfbwt_fused_records
+
+    log.info("fused device pipeline over haplotype collection "
+             "(%d records)", len(all_records))
+    with task_timer("fused device pipeline (parse+pfbwt)"):
+        res, _ = pfbwt_fused_records(
+            all_records, params,
+            want_sa=want_sa_vals, want_rssa=cfg.rssa, sa_dtype=cfg.dtype,
+        )
+    return res
+
+
+def _write_bwt_outputs(cfg, log, bwt_res, n: int):
+    """Final outputs shared by the staged and fused paths: .bwt/.sa/.ssa/
+    .esa files, the SA->MA permute (device or host backend), and the
+    reference's n/r stats lines."""
     with open(cfg.output + ".bwt", "wb") as f:
         f.write(bwt_res.bwt.tobytes())
     if cfg.sa:
@@ -255,7 +311,13 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
         log.info("constructing marker array from SA stream")
         with task_timer("constructing marker array"):
             mai = RleWindowArray(cfg.output + ".mps")
-            if os.environ.get("PFBWT_MA_BACKEND", "").lower() == "jax":
+            use_jax_ma = (
+                os.environ.get("PFBWT_MA_BACKEND", "").lower() == "jax"
+                or (cfg.fused or cfg.mesh)
+                and os.environ.get("PFBWT_MA_BACKEND", "").lower()
+                != "numpy"
+            )
+            if use_jax_ma:
                 from ..markers.ma_jax import marker_array_from_sa_jax
 
                 starts, ends, markers = marker_array_from_sa_jax(
@@ -267,7 +329,6 @@ def vcf_to_bwt(cfg: VcfToBwtConfig):
                 )
             with open(cfg.output + ".ma", "wb") as f:
                 write_mps_runs(f, starts, ends, markers)
-    log.info("done: n=%d r=%d n/r=%.3f", res.n, bwt_res.nruns,
-             res.n / max(bwt_res.nruns, 1))
-    print(f"n: {res.n}\nr: {bwt_res.nruns}", file=sys.stderr)
-    return bwt_res
+    log.info("done: n=%d r=%d n/r=%.3f", n, bwt_res.nruns,
+             n / max(bwt_res.nruns, 1))
+    print(f"n: {n}\nr: {bwt_res.nruns}", file=sys.stderr)

@@ -9,6 +9,7 @@ programs on the 2-vCPU VM) and starts executing in seconds.
 Usage: python scripts/warm_bench_aot.py [sizes_mb ...]   (default: 16 64)
 """
 
+import json
 import os
 import sys
 import time
@@ -28,6 +29,12 @@ def main():
     from pfbwtf_tpu.ops.fused import pfbwt_fused_device
     from pfbwtf_tpu.ops.parse import ParserParams, build_stream
 
+    cks_path = os.path.join(os.environ["PFBWT_AOT_DIR"], "checksums.json")
+    try:
+        with open(cks_path) as fh:
+            checksums = json.load(fh)
+    except OSError:
+        checksums = {}
     for size_mb in sizes:
         fasta = bench.make_pangenome_input(size_mb)
         records = read_fasta_bytes(fasta)
@@ -40,6 +47,11 @@ def main():
         _, checksum2 = pfbwt_fused_device(C, bench.W, bench.P, fetch=False)
         print(f"{size_mb} MB warm re-run {time.time() - t0:.1f} s", flush=True)
         assert checksum2 == checksum
+        # recorded so bench.py can verify the AOT executables still
+        # compute the same pipeline (guards against stale-blob bugs)
+        checksums[str(size_mb)] = int(checksum)
+    with open(cks_path, "w") as fh:
+        json.dump(checksums, fh, indent=1)
 
 
 if __name__ == "__main__":
