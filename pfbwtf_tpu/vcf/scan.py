@@ -58,6 +58,24 @@ def _case_seg(seg: bytes, how: str) -> bytes:
     return seg.lower() if how == "lc" else seg.upper()
 
 
+def _is_sequence_allele(a: str) -> bool:
+    """True iff the allele string is literal sequence that can be spliced
+    into the haplotype.  Symbolic ALTs (<DEL>, <INS>, <CN0>, ...),
+    breakends (containing [ or ]), single breakends (leading/trailing '.')
+    and the '*' spanning-deletion allele carry no splice-able bases — the
+    reference inherits their representation from htslib
+    (vcf_scanner.hpp:9-13) and real 1000G-derived panels contain them, so
+    they must parse cleanly; records selecting them are skipped with a
+    warning (the overlap-skip philosophy, vcf_scan.cpp:210-213)."""
+    if not a or a == "*":
+        return False
+    if a[0] == "<" or "[" in a or "]" in a:
+        return False
+    if a[0] == "." or a[-1] == ".":
+        return False
+    return True
+
+
 def _apply_mask(ref_seq: bytes, regions, mask_with: str):
     """Returns (masked ref, list of char-masked regions to skip variants
     in).  BED semantics: 0-based half-open."""
@@ -260,6 +278,25 @@ def scan_vcf_sample(
                     f"malformed GT in VCF (GT {gt} for record with "
                     f"{rec.n_allele} alleles)"
                 )
+            # symbolic / breakend / spanning-deletion alleles: no literal
+            # sequence to splice, and no meaningful ALT1 length for the
+            # marker rules — parse-and-skip with a warning, regardless of
+            # marker mode so both modes see identical overlap windows.
+            # Half-calls (./0) already fold to the ref allele above
+            # (gt -1 -> 0).
+            alt1 = rec.alleles[1] if len(rec.alleles) > 1 else ""
+            nonseq = (
+                (gt > 0 and not _is_sequence_allele(rec.alleles[gt]))
+                or (alt1 and not _is_sequence_allele(alt1))
+            )
+            if nonseq:
+                print(
+                    f"Warning: skipping non-sequence allele at "
+                    f"{rid}:{rec.pos} ({rec.vid}): "
+                    f"{rec.alleles[gt] if gt > 0 else alt1!r}",
+                    file=sys.stderr,
+                )
+                continue
             if writer is not None and len(rec.alleles) > 1:
                 alen = len(rec.alleles[1])  # ALT1 regardless of gt (quirk)
                 base = seq_start + bias + rec.pos

@@ -11,6 +11,23 @@ pfbwtf_tpu.vcf.scan / ops.* so pipeline-vs-oracle agreement is meaningful.
 import numpy as np
 
 
+def _nonseq_allele(a: str) -> bool:
+    """Symbolic ALTs, breakends, '*' — no splice-able sequence (mirrors
+    the documented skip rule in pfbwtf_tpu.vcf.scan._is_sequence_allele;
+    this oracle re-derives the same spec independently)."""
+    return (
+        not a or a == "*" or a[0] == "<" or "[" in a or "]" in a
+        or a[0] == "." or a[-1] == "."
+    )
+
+
+def _skip_nonseq(rec, gt) -> bool:
+    alt1 = rec.alleles[1] if len(rec.alleles) > 1 else ""
+    return (gt > 0 and _nonseq_allele(rec.alleles[gt])) or (
+        bool(alt1) and _nonseq_allele(alt1)
+    )
+
+
 def apply_variants(seq: bytes, records, hap: int, sample_idx: int,
                    ref_only: bool):
     """Direct splice of a haplotype; skip rule per vcf_scan.cpp:210-213."""
@@ -24,6 +41,8 @@ def apply_variants(seq: bytes, records, hap: int, sample_idx: int,
         gt = 0 if ref_only else rec.gts[sample_idx][hap]
         if gt == -1:
             gt = 0
+        if _skip_nonseq(rec, gt):
+            continue  # symbolic/breakend/'*' allele skipped
         out.append(seq[cursor : rec.pos])
         out.append(rec.alleles[gt].encode())
         cursor = rec.pos + rlen
@@ -42,10 +61,12 @@ def truth_markers_for_hap(records, hap, sample_idx, ref_only, base, bias0=0):
         rlen = len(rec.alleles[0])
         if not (prev_end <= rec.pos):
             continue
-        prev_end = rec.pos + rlen
         gt = 0 if ref_only else rec.gts[sample_idx][hap]
         if gt == -1:
             gt = 0
+        if _skip_nonseq(rec, gt):
+            continue
+        prev_end = rec.pos + rlen
         alen = len(rec.alleles[1]) if len(rec.alleles) > 1 else rlen
         if rlen == 1 and alen == 1:
             markers[base + bias + rec.pos] = (rec.pos, gt)

@@ -15,7 +15,12 @@ def random_vcf(
     af: float = 0.5,
     indel_frac: float = 0.2,
     max_indel: int = 6,
+    exotic_frac: float = 0.0,
 ):
+    """``exotic_frac`` > 0 additionally injects htslib-grade edge records
+    (symbolic ALTs, breakends, '*' spanning alleles, half-call and missing
+    GTs) — real 1000G-derived panels contain these; the scanner must
+    parse them cleanly and skip the non-sequence ones with a warning."""
     samples = [f"s{i}" for i in range(nsamples)]
     lines = ["##fileformat=VCFv4.2"]
     for name, seq in contigs:
@@ -42,6 +47,40 @@ def random_vcf(
             if pos == prev_end:
                 continue
             ref_base = chr(seq[pos])
+            if exotic_frac and rng.random() < exotic_frac:
+                kind = rng.integers(0, 4)
+                if kind == 0:  # symbolic ALT
+                    ref = ref_base
+                    alt = str(rng.choice(["<DEL>", "<INS>", "<CN0>"]))
+                elif kind == 1:  # breakend
+                    ref = ref_base
+                    alt = f"{ref_base}[{name}:{pos + 10}["
+                elif kind == 2:  # spanning-deletion allele
+                    ref = ref_base
+                    alt = "*"
+                else:  # half-call / missing GTs on a plain SNP
+                    ref = ref_base
+                    alt = str(rng.choice(
+                        [b for b in BASES if b != ref_base]
+                    ))
+                if kind == 3:
+                    gts = [str(rng.choice([".|.", ".|0", "0|."]))
+                           for _ in samples]
+                else:
+                    gts = []
+                    for _ in samples:
+                        h0 = 1 if rng.random() < af else 0
+                        h1 = 1 if rng.random() < af else 0
+                        gts.append(f"{h0}|{h1}")
+                vid += 1
+                lines.append(
+                    f"{name}\t{pos + 1}\tx{vid}\t{ref}\t{alt}\t.\tPASS\t"
+                    ".\tGT\t" + "\t".join(gts)
+                )
+                # non-sequence records are skipped by the scanner (and
+                # half-calls fold to ref): they never advance the overlap
+                # window
+                continue
             if rng.random() < indel_frac:
                 k = int(rng.integers(1, max_indel))
                 if rng.random() < 0.5:  # deletion: REF = base + k following
