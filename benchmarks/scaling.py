@@ -146,17 +146,77 @@ def bench_dsort(shard_mb: float, iters: int):
     return results
 
 
+def bench_fused_mesh(shard_mb: float, w: int, p: int, iters: int,
+                     copies: int = 8, snp_rate: float = 0.001):
+    """The FULL distributed pipeline (parallel/fused_mesh.py) per mesh
+    size: sharded parse + collective dict union + dict-scale emitter
+    table + distributed emission sample-sort + sharded decode, end to
+    end (including output fetch — the pod-run wall-clock a user sees).
+
+    Weak scaling: the input is a pangenome of ``nd * shard_mb`` total —
+    one mutated copy-set of a fixed-size unit, so the dict stays
+    unit-scale while the emission volume grows with the mesh.  This is
+    exactly BASELINE config 3/4's workload shape, one command on a pod:
+
+        python benchmarks/scaling.py --step fused_mesh --shard-mb 64
+    """
+    import jax
+
+    from pfbwtf_tpu.ops.parse import ParserParams
+    from pfbwtf_tpu.parallel.fused_mesh import pfbwt_fused_mesh_records
+    from pfbwtf_tpu.parallel.sharded import make_parse_mesh
+
+    devices = jax.devices()
+    rng = np.random.default_rng(2)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    results = []
+    base_mbps = None
+    params = ParserParams(w=w, p=p)
+    for nd in _mesh_sizes(len(devices)):
+        mesh = make_parse_mesh(devices[:nd])
+        total = int(nd * shard_mb * (1 << 20))
+        unit = acgt[rng.integers(0, 4, size=max(total // copies, 1))]
+        records = []
+        for i in range(copies):
+            hap = unit.copy()
+            nmut = int(hap.size * snp_rate)
+            pos = rng.integers(0, hap.size, size=max(nmut, 1))
+            hap[pos] = acgt[rng.integers(0, 4, size=pos.size)]
+            records.append((f"hap{i}", hap))
+        res = pfbwt_fused_mesh_records(records, params, mesh,
+                                       want_sa=True)  # compile + warm
+        assert res.bwt.size > 0
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            res = pfbwt_fused_mesh_records(records, params, mesh,
+                                           want_sa=True)
+            best = min(best, time.perf_counter() - t0)
+        mbps = total / best / 1e6
+        if base_mbps is None:
+            base_mbps = mbps / nd
+        eff = mbps / (base_mbps * nd)
+        row = {"step": "fused_mesh", "devices": nd, "shard_mb": shard_mb,
+               "mbps": round(mbps, 2), "efficiency": round(eff, 3)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--shard-mb", type=float, default=64.0,
                     help="per-device shard size (weak scaling)")
-    ap.add_argument("--step", choices=("parse", "dsort", "both"),
+    ap.add_argument("--step",
+                    choices=("parse", "dsort", "fused_mesh", "both", "all"),
                     default="both")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("-w", type=int, default=10)
     ap.add_argument("-p", type=int, default=100)
     args = ap.parse_args()
-    if args.step in ("parse", "both"):
+    if args.step in ("parse", "both", "all"):
         bench_parse(args.shard_mb, args.w, args.p, args.iters)
-    if args.step in ("dsort", "both"):
+    if args.step in ("dsort", "both", "all"):
         bench_dsort(args.shard_mb, args.iters)
+    if args.step in ("fused_mesh", "all"):
+        bench_fused_mesh(args.shard_mb, args.w, args.p, args.iters)
