@@ -44,7 +44,7 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
 
 
 def dict_sort_part(dict_flat, w: int, impl: str = "lax",
-                   n_levels: int = None):
+                   n_levels: int = None, alphabet: str = "byte"):
     """Dict suffix sort + exact equality captures + per-position metadata.
 
     Shared by assemble_core and the fused programs (ops/fused.py,
@@ -74,14 +74,18 @@ def dict_sort_part(dict_flat, w: int, impl: str = "lax",
     word_id = jnp.concatenate(
         (jnp.zeros(1, it), jnp.cumsum(is_eow.astype(it))[:-1])
     )
-    keys0, k0 = packed_dict_keys(dict_flat, w)
+    from .suffix import dict_key_plan
+
+    keys0, k0, fp_word = packed_dict_keys(dict_flat, w, alphabet)
+    _, t_min, _ = dict_key_plan(w, alphabet)
     # suffix length = distance to the next separator (reverse cummin) —
     # computed BEFORE the sort so the doubling loop can capture
     sep_idx = jnp.where(is_sep, iota, it(D))
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - iota
     sa_all, _, C1, C2 = doubling_with_captures(
-        keys0, None, suf_len, k0=k0, impl=impl, n_levels=n_levels
+        keys0, None, suf_len, k0=k0, impl=impl, n_levels=n_levels,
+        fp_word=fp_word, t_min=t_min,
     )
     return sa_all, C1, C2, suf_len, word_id
 
@@ -211,7 +215,7 @@ def assemble_core(
     dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int, impl: str = "lax",
     sorted_state=None, seg_start=None, fanout: str = "scatter",
-    wide: bool = None, n_levels: int = None,
+    wide: bool = None, n_levels: int = None, alphabet: str = "byte",
 ):
     """Traceable emission-sort assembly body — callable standalone (below)
     or inlined into the fused whole-pipeline program (ops/fused.py).
@@ -227,7 +231,8 @@ def assemble_core(
     it = jnp.int32 if max(D, total_b) < 2**31 - 2 else jnp.int64
     if sorted_state is None:
         sorted_state = dict_sort_part(dict_flat, w, impl,
-                                      n_levels=n_levels)
+                                      n_levels=n_levels,
+                                      alphabet=alphabet)
     (
         sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
         seg_u,
@@ -400,8 +405,21 @@ _assemble_device = partial(
     jax.jit,
     static_argnames=(
         "w", "nsuf_b", "total_b", "impl", "fanout", "wide", "n_levels",
+        "alphabet",
     ),
 )(assemble_core)
+
+
+def dict_alphabet_of_bytes(dict_flat: np.ndarray) -> str:
+    """Host-side key-packing mode from the dict byte array itself (the
+    standalone/mesh paths receive the dict, not the input stream)."""
+    import os
+
+    if os.environ.get("PFBWT_DICT_KEYS", "").lower() == "byte":
+        return "byte"
+    allowed = np.zeros(256, dtype=bool)
+    allowed[[0, 1, 2, 65, 67, 71, 84]] = True
+    return "acgt3" if bool(allowed[dict_flat].all()) else "byte"
 
 
 def assemble_bwt_jax(
@@ -457,6 +475,7 @@ def assemble_bwt_jax(
         if seps.size
         else 1
     )
+    alphabet = dict_alphabet_of_bytes(dict_flat)
 
     bwtc, sa_vals = _assemble_device(
         jnp.asarray(pad(dict_flat, D_b)),
@@ -473,7 +492,8 @@ def assemble_bwt_jax(
         fanout=fanout_impl(),
         # test hook: force the wide multi-operand emission sort
         wide=bool(int(os.environ.get("PFBWT_EMIT_WIDE", "0"))) or None,
-        n_levels=capture_levels(max_len, w),
+        n_levels=capture_levels(max_len, w, alphabet),
+        alphabet=alphabet,
     )
     bwtc = np.asarray(bwtc)[:total]
     run_start = np.empty(total, dtype=bool)

@@ -65,18 +65,37 @@ def _bucket(n: int, floor: int = 1 << 12) -> int:
 # --------------------------------------------------------------------------
 
 
-def capture_levels(max_len: int, w: int) -> int:
+def capture_levels(max_len: int, w: int, alphabet: str = "byte") -> int:
     """Static capture-table height for doubling_with_captures, from the
     device-counted max dict word length: levels cover t up to
     floor_pow2(max suffix length) (suffix lengths never exceed the word
     length), +1 safety, rounded up to a multiple of 4 to bound the
-    number of compiled variants."""
-    from .suffix import packed_dict_keys_k0
+    number of compiled variants.  Rows are indexed from t_min (the
+    smallest capture level; fingerprint rows fill [t_min, k0) in acgt3
+    mode — see suffix.dict_key_plan)."""
+    from .suffix import dict_key_plan
 
-    k0 = packed_dict_keys_k0(w)
-    log2k0 = int(np.round(np.log2(k0)))
-    need = int(np.floor(np.log2(max(max_len, 1)))) - log2k0 + 2
+    _, t_min, _ = dict_key_plan(w, alphabet)
+    log2tmin = int(np.round(np.log2(t_min)))
+    need = int(np.floor(np.log2(max(max_len, 1)))) - log2tmin + 2
     return max(4, -(-need // 4) * 4)
+
+
+def dict_alphabet(C: np.ndarray) -> str:
+    """Static key-packing mode for the dict suffix sort: 'acgt3' when the
+    validated input stream is pure ACGT (the common genomic case — 3-bit
+    symbol packing starts the doubling at k0=16, one round fewer than
+    byte packing), else 'byte' (N and '-' survive validation as raw dict
+    bytes, pfparser stores them verbatim).  PFBWT_DICT_KEYS=byte forces
+    the byte path."""
+    if os.environ.get("PFBWT_DICT_KEYS", "").lower() == "byte":
+        return "byte"
+    if C.size == 0:
+        return "acgt3"
+    pure = bool(
+        ((C == 65) | (C == 67) | (C == 71) | (C == 84)).all()
+    )
+    return "acgt3" if pure else "byte"
 
 
 def speculative_nphrases(C_len: int, p: int) -> int:
@@ -575,6 +594,7 @@ def _j3_prep_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
     nphrases, D, dict_total,
     w: int, dict_b: int, impl: str = "lax", n_levels: int = None,
+    alphabet: str = "byte",
 ):
     """First half of J3 (dict-scale): dict byte array, dict suffix sort
     with captures, true word-rank recovery, parse-BWT, and the ilist
@@ -630,7 +650,8 @@ def _j3_prep_core(
     from .bwt_jax import dict_sort_part
     from .suffix import compact_indices_jax
 
-    ss = dict_sort_part(dict_flat, w, impl, n_levels=n_levels)
+    ss = dict_sort_part(dict_flat, w, impl, n_levels=n_levels,
+                        alphabet=alphabet)
     sa_all, _, _, _, word_id = ss
     prev_sep0 = jnp.concatenate(
         (jnp.ones(1, bool), dict_flat[:-1] <= 1)
@@ -674,6 +695,7 @@ def _final_core(
     nphrases, D, dict_total, nsuf_true, total_true,
     w: int, dict_b: int, nsuf_b: int, total_b: int, impl: str = "lax",
     fanout: str = "scatter", n_levels: int = None,
+    alphabet: str = "byte",
 ):
     import jax.numpy as jnp
 
@@ -682,7 +704,7 @@ def _final_core(
     dict_flat, ss, bwlast, ilist, bwsai, seg_prov = _j3_prep_core(
         Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
         nphrases, D, dict_total, w, dict_b, impl=impl,
-        n_levels=n_levels,
+        n_levels=n_levels, alphabet=alphabet,
     )
     bwtc, sa_vals = assemble_core(
         dict_flat, occs, bwlast, ilist, bwsai, nsuf_true, total_true,
@@ -751,6 +773,7 @@ def pfbwt_fused_device(
         die(f"invalid character {bad}/{chr(bad)} in input "
             "(use --non-acgt-to-a)")
     del codes_chk
+    alphabet = dict_alphabet(C)
 
     C_len = int(C.shape[0])
     # n = text length incl. per-record pads, excl. Dollar sentinels
@@ -790,7 +813,7 @@ def pfbwt_fused_device(
     # capture-table height for J3's doubling: exact need from the max
     # dict word length (+1 safety), rounded up to a multiple of 4 so the
     # static-arg space stays small across inputs
-    n_levels = capture_levels(max_len, w)
+    n_levels = capture_levels(max_len, w, alphabet)
     (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 
     nsuf = (dict_total - 1 - D) - D * w
@@ -806,12 +829,12 @@ def pfbwt_fused_device(
         # program over its HBM-resident outputs (one extra dispatch, no
         # host transfer) — isolates the emission gathers/sort from the
         # doubling loop's buffer pressure
-        keyp = (w, dict_b, nph_b, sort_impl(), n_levels)
+        keyp = (w, dict_b, nph_b, sort_impl(), n_levels, alphabet)
         if keyp not in _prep_jits:
             _prep_jits[keyp] = jax.jit(
                 partial(
                     _j3_prep_core, w=w, dict_b=dict_b, impl=sort_impl(),
-                    n_levels=n_levels,
+                    n_levels=n_levels, alphabet=alphabet,
                 )
             )
         dict_flat_d, ss, bwlast_d, ilist_d, bwsai_d, seg_d = _prep_jits[
@@ -835,7 +858,7 @@ def pfbwt_fused_device(
         )
     else:
         key3 = (w, dict_b, nsuf_b, total_b, nph_b, sort_impl(),
-                fanout_impl(), n_levels)
+                fanout_impl(), n_levels, alphabet)
         j3_args = (
             Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
             jnp.int64(nphrases), jnp.int64(D), jnp.int64(dict_total),
@@ -848,6 +871,7 @@ def pfbwt_fused_device(
                     _final_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
                     total_b=total_b, impl=sort_impl(),
                     fanout=fanout_impl(), n_levels=n_levels,
+                    alphabet=alphabet,
                 )
             ),
             j3_args, _final_jits,

@@ -63,7 +63,7 @@ def _dict_state_core(
     Tp, parse_ranks, occs, dict_start, dict_len, last, sai,
     nphrases, D, dict_total, nsuf_true, chunk_target,
     w: int, dict_b: int, nsuf_b: int, max_chunks: int, impl: str = "lax",
-    n_levels: int = None,
+    n_levels: int = None, alphabet: str = "byte",
 ):
     """Everything assemble_core computes BEFORE the total_b fan-out, plus
     the group-aligned chunk table.  Returns HBM-resident dict-scale arrays
@@ -117,11 +117,15 @@ def _dict_state_core(
     sep_idx = jnp.where(is_sep, pidx, it(dict_b))
     next_sep = jax.lax.cummin(sep_idx, reverse=True)
     suf_len = next_sep - pidx
-    # packed raw-byte initial keys + exact suffix-equality via rank-block
-    # captures (see bwt_jax.assemble_core) — no u64 hash machinery
-    keys0, k0 = packed_dict_keys(dict_flat, w)
+    # packed initial keys + exact suffix-equality via rank-block /
+    # fingerprint captures (see bwt_jax.assemble_core) — no u64 hashes
+    from .suffix import dict_key_plan
+
+    keys0, k0, fp_word = packed_dict_keys(dict_flat, w, alphabet)
+    _, t_min, _ = dict_key_plan(w, alphabet)
     sa_all, _, C1, C2 = doubling_with_captures(
-        keys0, None, suf_len, k0=k0, impl=impl, n_levels=n_levels
+        keys0, None, suf_len, k0=k0, impl=impl, n_levels=n_levels,
+        fp_word=fp_word, t_min=t_min,
     )
     kept_idx = compact_indices_jax(suf_len[sa_all] > w, nsuf_b, fill=0)
     sa_kept = sa_all[kept_idx].astype(it)
@@ -416,6 +420,7 @@ def pfbwt_fused_stream(
         die(f"invalid character {bad}/{chr(bad)} in input "
             "(use --non-acgt-to-a)")
     del codes_chk
+    alphabet = fused.dict_alphabet(C)
 
     C_len = int(C.shape[0])
     n = C_len
@@ -467,7 +472,7 @@ def pfbwt_fused_stream(
             nph_b = fused._bucket(ncuts + 1)
             state, ncuts, D, dict_total, max_len = run_parse(nph_b)
         nphrases = ncuts + 1
-    n_levels = fused.capture_levels(max_len, w)
+    n_levels = fused.capture_levels(max_len, w, alphabet)
     (Tp, parse_ranks, occs, dict_start, dict_len, last, sai, _) = state
 
     nsuf = (dict_total - 1 - D) - D * w
@@ -475,12 +480,14 @@ def pfbwt_fused_stream(
     nsuf_b = fused._bucket(nsuf)
     impl = sort_impl()
 
-    keyA = (w, dict_b, nsuf_b, nph_b, max_chunks, impl, n_levels)
+    keyA = (w, dict_b, nsuf_b, nph_b, max_chunks, impl, n_levels,
+            alphabet)
     if keyA not in _state_jits:
         _state_jits[keyA] = jax.jit(
             partial(
                 _dict_state_core, w=w, dict_b=dict_b, nsuf_b=nsuf_b,
                 max_chunks=max_chunks, impl=impl, n_levels=n_levels,
+                alphabet=alphabet,
             )
         )
     (

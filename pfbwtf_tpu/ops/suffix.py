@@ -399,29 +399,96 @@ def compact_indices_jax(mask, size: int, fill: int = 0):
 
 
 def packed_dict_keys_k0(w: int) -> int:
-    """The initial doubling level packed_dict_keys uses: largest power of
-    two <= min(8, w+1) bytes per key."""
+    """The initial doubling level the BYTE-packed keys use: largest power
+    of two <= min(8, w+1) bytes per key."""
     k0 = 1
     while k0 * 2 <= min(8, w + 1):
         k0 *= 2
     return k0
 
 
-def packed_dict_keys(dict_flat, w: int):
-    """Initial doubling keys for the dict byte array: k0 = largest power
-    of two <= min(8, w+1) RAW bytes packed big-endian into one i64, with
-    every EndOfDict position (terminator + bucket pads) overridden by a
-    distinct ascending negative.  Raw-byte order (EOD 0 < EOW 1 < Dollar
-    2 < chars) equals the generalized-symbol order for DISTINCT suffix
+# 3-bit symbol packing: 21 symbols per i64.  Order-preserving over the
+# pure-ACGT dict alphabet {EOD 0, EOW 1, Dollar 2, A, C, G, T}.
+_FP_SYMS = 21
+
+
+def dict_key_plan(w: int, alphabet: str = "byte"):
+    """(k0, t_min, n_fp) for the dict doubling keys.
+
+    byte:  k0 = largest pow2 <= min(8, w+1) raw bytes in one i64; every
+           capture level t >= k0 (kept suffixes are > w long), so no
+           fingerprint tiers (t_min = k0, n_fp = 0).
+    acgt3: pure-ACGT alphabet packs 3 bits/symbol — the initial rank
+           covers k0 = 16 symbols (one fewer doubling round than byte
+           packing's 8), and capture levels BELOW k0 are served by exact
+           prefix FINGERPRINTS sliced from the packed word (t <= 8 means
+           3t <= 24 bits: the block CONTENT itself fits the i32 capture
+           table — equality of values IS equality of blocks).  t_min =
+           floor_pow2(w+1) (kept suffixes are longer than w), n_fp
+           fingerprint rows fill levels [t_min, k0)."""
+    if alphabet == "acgt3":
+        k0 = 16
+        tm = 1
+        while tm * 2 <= min(w + 1, k0):
+            tm *= 2
+        n_fp = int(np.round(np.log2(k0) - np.log2(tm)))
+        return k0, tm, n_fp
+    k0 = packed_dict_keys_k0(w)
+    return k0, k0, 0
+
+
+def _acgt3_codes(dict_flat):
+    """Order-preserving 3-bit codes for the pure-ACGT dict alphabet:
+    0,1,2 fixed; A(65)->3 C(67)->4 G(71)->5 T(84)->6 — compares, not a
+    256-LUT gather (the LUT form measured 0.59 s over 75M lanes)."""
+    c = dict_flat.astype(jnp.int64)
+    code = jnp.where(
+        c <= 2,
+        c,
+        3
+        + (c == 67).astype(jnp.int64)
+        + (c == 71).astype(jnp.int64) * 2
+        + (c == 84).astype(jnp.int64) * 3,
+    )
+    return code
+
+
+def packed_dict_keys(dict_flat, w: int, alphabet: str = "byte"):
+    """Initial doubling keys for the dict byte array, with every
+    EndOfDict position (terminator + bucket pads) overridden by a
+    distinct ascending negative (so the loop is bounded by real max LCP,
+    not the pad-run length).  Raw-byte order (EOD 0 < EOW 1 < Dollar 2 <
+    chars) equals the generalized-symbol order for DISTINCT suffix
     strings; equal strings tie on (chars, EOW) and order within an
     equality group is immaterial downstream (groups merge; the emission
-    sorts by ilist position within a group).  Starting the doubling at
-    level k0 removes log2(k0) full sort rounds.  k0 <= w+1 <= every kept
-    suffix's length, so the equality captures stay within strings.
-    Returns (keys_i64, k0)."""
+    sorts by ilist position within a group).
+
+    byte mode packs k0 raw bytes big-endian into one i64 (k0 <= w+1 so
+    captures stay within strings).  acgt3 mode packs _FP_SYMS 3-bit
+    symbols; the rank key is masked to exactly k0 = 16 symbols (capture
+    exactness needs ranks at exact pow2 levels) while the full packed
+    word doubles as the fingerprint source for capture levels below k0
+    (see dict_key_plan).  Returns (rank_keys_i64, k0, fp_word_or_None).
+    """
     from ..constants import EndOfDict as _EOD
 
     D = dict_flat.shape[0]
+    iota = jnp.arange(D, dtype=jnp.int64)
+    if alphabet == "acgt3":
+        k0, _, _ = dict_key_plan(w, alphabet)
+        codes = _acgt3_codes(dict_flat)
+        key = jnp.zeros(D, jnp.int64)
+        for j in range(_FP_SYMS):
+            b = codes if j == 0 else jnp.concatenate(
+                (codes[j:], jnp.zeros(j, jnp.int64))
+            )
+            key = (key << jnp.int64(3)) | b
+        eod = dict_flat == _EOD
+        fp_word = jnp.where(eod, iota - D, key)
+        rank_keys = jnp.where(
+            eod, iota - D, key >> jnp.int64(3 * (_FP_SYMS - k0))
+        )
+        return rank_keys, k0, fp_word
     k0 = packed_dict_keys_k0(w)
     key = jnp.zeros(D, jnp.int64)
     for j in range(k0):
@@ -429,9 +496,8 @@ def packed_dict_keys(dict_flat, w: int):
             (dict_flat[j:], jnp.zeros(j, jnp.uint8))
         )
         key = (key << jnp.int64(8)) | b.astype(jnp.int64)
-    iota = jnp.arange(D, dtype=jnp.int64)
     key = jnp.where(dict_flat == _EOD, iota - D, key)
-    return key, k0
+    return key, k0, None
 
 
 def _floor_pow2_i32(x):
@@ -447,7 +513,7 @@ def _floor_pow2_i32(x):
 
 def doubling_with_captures(
     keys, cap_pos, cap_len, k0: int, k_stop=None, impl: str = "lax",
-    n_levels: int = None,
+    n_levels: int = None, fp_word=None, t_min: int = None,
 ):
     """Prefix doubling that additionally captures, per query j, the rank
     blocks needed for O(1) EXACT substring equality (the sparse-table
@@ -519,7 +585,13 @@ def doubling_with_captures(
     else:
         cap_pos = jnp.clip(cap_pos.astype(it), 0, n - 1)
     cap_len = cap_len.astype(it)
-    t = jnp.maximum(it(k0), _floor_pow2_i32(jnp.maximum(cap_len, 1)).astype(it))
+    # fingerprint tiers serve capture levels in [t_min, k0); without a
+    # fingerprint word every level must be >= k0 (the byte-packed mode)
+    if fp_word is None or t_min is None:
+        t_min = k0
+    t = jnp.maximum(
+        it(t_min), _floor_pow2_i32(jnp.maximum(cap_len, 1)).astype(it)
+    )
     p2 = jnp.clip(cap_pos + cap_len - t, 0, n - 1)
 
     k0i = jnp.int64(k0)
@@ -540,6 +612,12 @@ def doubling_with_captures(
         # argument unchanged (no equal pair of that length can exist once
         # ranks are fully distinct).
         log2k0 = int(np.round(np.log2(k0)))
+        log2tmin = int(np.round(np.log2(t_min)))
+        # fingerprint rows fill levels [t_min, k0): row r holds the exact
+        # 3-bit-packed CONTENT of the (t_min << r)-symbol prefix at each
+        # position (<= 24 bits, fits the i32 table) — equality of values
+        # is equality of blocks, written once before the loop
+        n_fp = log2k0 - log2tmin
         # ``n_levels`` (static) bounds the table height: callers that know
         # the true max capture length (e.g. the fused driver fetches max
         # dict word length with its sizing scalars) pass the exact need —
@@ -550,17 +628,27 @@ def doubling_with_captures(
         # small bound degrades to "no equal pair detected at that length"
         # — which is only correct when the bound really covers every
         # capture level; the fused driver guarantees it from max(dict_len).
-        full_levels = max(int(np.ceil(np.log2(n + 2))) - log2k0 + 1, 1)
+        full_levels = max(
+            int(np.ceil(np.log2(n + 2))) - log2k0 + 1 + n_fp, 1
+        )
         if n_levels is None:
             n_levels = full_levels
-        n_levels = max(1, min(n_levels, full_levels))
+        n_levels = max(n_fp + 1, min(n_levels, full_levels))
         # +1 trash row: rounds past the cap dump there (dynamic_update_
         # slice CLAMPS starts, which would otherwise overwrite the last
         # real row); capped-out queries keep sentinels via lvl_q <
         # n_levels below
         Rlev0 = jnp.zeros((n_levels + 1, n), it)
+        for r in range(n_fp):
+            t_r = t_min << r
+            frow = (
+                fp_word >> jnp.int64(3 * (_FP_SYMS - t_r))
+            ).astype(it)
+            Rlev0 = jax.lax.dynamic_update_slice(
+                Rlev0, frow[None], (r, 0)
+            )
         Rlev0 = jax.lax.dynamic_update_slice(
-            Rlev0, rank[None].astype(it), (0, 0)
+            Rlev0, rank[None].astype(it), (n_fp, 0)
         )
 
         def cond_s(carry):
@@ -601,6 +689,7 @@ def doubling_with_captures(
                 jax.lax.population_count(k.astype(jnp.int64) - 1)
                 .astype(jnp.int32)
                 - log2k0
+                + n_fp
             )
             Rlev = jax.lax.dynamic_update_slice(
                 Rlev,
@@ -612,13 +701,16 @@ def doubling_with_captures(
         rank, k_final, Rlev = jax.lax.while_loop(
             cond_s, body_s, (rank, k0i, Rlev0)
         )
+        # unified row index: fingerprint rows [0, n_fp) then rank rows;
+        # t >= t_min always, so lvl_q = log2(t) - log2(t_min) >= 0
         lvl_q = (
             jax.lax.population_count(t.astype(jnp.int64) - 1)
             .astype(it)
-            - it(log2k0)
+            - it(log2tmin)
         )
         lvl_written = (
-            jax.lax.population_count(k_final - 1).astype(it) - it(log2k0)
+            jax.lax.population_count(k_final - 1).astype(it)
+            - it(log2k0) + it(n_fp)
         )
         ok = (lvl_q <= lvl_written) & (lvl_q < it(n_levels))
         lvl_c = jnp.clip(lvl_q, 0, n_levels - 1)

@@ -66,7 +66,7 @@ def _j3a_core(
     dict_flat, occs, ranks_p, last_p, sai_p,
     nphrases, nsuf_true, total_true,
     w: int, nsuf_b: int, total_b: int, impl: str,
-    n_levels: int = None,
+    n_levels: int = None, alphabet: str = "byte",
 ):
     import jax.numpy as jnp
 
@@ -79,7 +79,8 @@ def _j3a_core(
     bwlast, ilist, bwsai, _ = parse_bwt_core(
         ranks_p, last_p, sai_p, nphrases, impl=impl
     )
-    ss = dict_sort_part(dict_flat, w, impl, n_levels=n_levels)
+    ss = dict_sort_part(dict_flat, w, impl, n_levels=n_levels,
+                        alphabet=alphabet)
     (
         sa_kept, suf_valid, ls, gid, u, counts, first, flags, ls_tab,
         seg_u,
@@ -268,13 +269,16 @@ def _fused_mesh_from_parse(
         if seps.size
         else 1
     )
-    n_levels = capture_levels(max_len, w)
-    key3 = (w, D_b, nph_b, nsuf_b, total_b, impl, n_levels)
+    from ..ops.bwt_jax import dict_alphabet_of_bytes
+
+    alphabet = dict_alphabet_of_bytes(dict_flat)
+    n_levels = capture_levels(max_len, w, alphabet)
+    key3 = (w, D_b, nph_b, nsuf_b, total_b, impl, n_levels, alphabet)
     if key3 not in _j3a_jits:
         _j3a_jits[key3] = jax.jit(
             partial(
                 _j3a_core, w=w, nsuf_b=nsuf_b, total_b=total_b, impl=impl,
-                n_levels=n_levels,
+                n_levels=n_levels, alphabet=alphabet,
             )
         )
     firstE, gidE, flagsE, baseE, ls_tab, bwlast, ilist, bwsai = _j3a_jits[

@@ -2,6 +2,7 @@
 reference paths exactly (which are in turn parity-tested vs the reference)."""
 
 import numpy as np
+import pytest
 
 from pfbwtf_tpu.ops import hash as hash_ops
 from pfbwtf_tpu.ops import suffix
@@ -110,31 +111,49 @@ def test_pallas_scan_interpret_parity(rng):
         assert np.array_equal(got, want), (w, p)
 
 
-def test_doubling_capture_equality_exact():
+@pytest.mark.parametrize("alphabet", ["byte", "acgt3"])
+def test_doubling_capture_equality_exact(alphabet):
     """doubling_with_captures: for adjacent kept suffixes of equal length,
     (C1, C2) equality must coincide EXACTLY with string equality — on an
     adversarial dict with planted duplicate words, deep shared prefixes,
-    and words equal except at the last char (hash-free exactness gate)."""
+    and words equal except at the last char (hash-free exactness gate).
+    Covers both key-packing modes: raw bytes (k0=8) and 3-bit pure-ACGT
+    (k0=16 with fingerprint tiers below)."""
     import numpy as np
     import jax.numpy as jnp
 
     from pfbwtf_tpu.constants import EndOfDict, EndOfWord
     from pfbwtf_tpu.ops.suffix import (
+        dict_key_plan,
         doubling_with_captures,
         packed_dict_keys,
     )
 
     rng = np.random.default_rng(99)
-    base = rng.integers(65, 69, size=120, dtype=np.uint8)  # A..D
+    if alphabet == "acgt3":
+        acgt = np.frombuffer(b"ACGT", np.uint8)
+        base = acgt[rng.integers(0, 4, size=120)]
+    else:
+        base = rng.integers(65, 69, size=120, dtype=np.uint8)  # A..D
     words = [base.copy(), base.copy()]                      # exact dups
     w3 = base.copy()
-    w3[-1] ^= 1                                             # differs at end
+    # differs at the last char, staying inside the declared alphabet
+    # (an xor would mint a byte outside it and sidestep the
+    # dict_alphabet gate the real drivers apply)
+    w3[-1] = (
+        (ord("A") if w3[-1] != ord("A") else ord("C"))
+        if alphabet == "acgt3"
+        else w3[-1] ^ 1
+    )
     words.append(w3)
     w4 = base[:77].copy()                                   # prefix-length
     words.append(w4)
     for _ in range(6):
-        words.append(rng.integers(65, 69, size=int(rng.integers(5, 90)),
-                                  dtype=np.uint8))
+        size = int(rng.integers(5, 90))
+        if alphabet == "acgt3":
+            words.append(acgt[rng.integers(0, 4, size=size)])
+        else:
+            words.append(rng.integers(65, 69, size=size, dtype=np.uint8))
     flat = []
     for wd in words:
         flat.append(wd)
@@ -156,9 +175,17 @@ def test_doubling_capture_equality_exact():
         suf_len[p] = (sep[si] - p) if si < len(sep) else 0
 
     W = 3
-    keys, k0 = packed_dict_keys(jnp.asarray(dict_flat), W)
+    if alphabet == "acgt3":
+        acgt2 = np.frombuffer(b"ACGT", np.uint8)
+        # also plant equal suffixes SHORTER than k0=16 (fingerprint tier)
+        assert (suf_len[np.flatnonzero(suf_len > W)] < 16).any()
+    keys, k0, fp_word = packed_dict_keys(
+        jnp.asarray(dict_flat), W, alphabet
+    )
+    _, t_min, _ = dict_key_plan(W, alphabet)
     sa, _, C1, C2 = doubling_with_captures(
-        keys, None, jnp.asarray(suf_len), k0=k0
+        keys, None, jnp.asarray(suf_len), k0=k0, fp_word=fp_word,
+        t_min=t_min,
     )
     sa = np.asarray(sa)
     C1 = np.asarray(C1)
