@@ -50,6 +50,12 @@ def make_input():
     return fasta
 
 
+def _peak_rss_gb():
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+
+
 def main():
     from pfbwtf_tpu.io.fasta import read_fasta_bytes
     from pfbwtf_tpu.ops.fused_stream import pfbwt_fused_stream
@@ -78,9 +84,32 @@ def main():
     assert ck2 == ck, "nondeterministic checksum"
     print(
         f"streamed fused e2e (warm): {dt:.1f} s  "
-        f"({C.size / dt / 1e6:.2f} MB/s/chip)",
+        f"({C.size / dt / 1e6:.2f} MB/s/chip)  "
+        f"host peak RSS {_peak_rss_gb():.2f} GB "
+        f"({_peak_rss_gb() / (SIZE_MB / 1024):.2f}x text)",
         flush=True,
     )
+    if os.environ.get("PFBWT_STREAM_REF", "1") != "0":
+        import subprocess
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tests.ref_fixtures import ReferenceTools
+
+        tools = ReferenceTools.build()
+        if tools is not None:
+            t0 = time.perf_counter()
+            subprocess.run(
+                [tools.pfbwt64, fasta, CACHE + ".ref", str(W), str(P),
+                 "1", "0"],
+                check=True, capture_output=True,
+            )
+            ref_dt = time.perf_counter() - t0
+            print(
+                f"reference pfbwt-f64 (full 3 stages + disk writes): "
+                f"{ref_dt:.1f} s -> vs_baseline {ref_dt / dt:.2f}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

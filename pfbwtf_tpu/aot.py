@@ -120,15 +120,22 @@ def try_load(name, static_key, args):
     if not os.path.exists(path):
         return None
     try:
+        import jax
         from jax.experimental.serialize_executable import (
             deserialize_and_load,
         )
 
         with open(path, "rb") as fh:
-            payload, in_tree, out_tree = pickle.loads(
-                zlib.decompress(fh.read())
-            )
-        return deserialize_and_load(payload, in_tree, out_tree)
+            obj = pickle.loads(zlib.decompress(fh.read()))
+        payload, in_tree, out_tree = obj[:3]
+        n_dev = obj[3] if len(obj) > 3 else 1
+        # the stored programs are single-device (n_dev=1): loading with
+        # the backend's full device list breaks on multi-device testbeds
+        # ("expected args ... to have 8 shards")
+        return deserialize_and_load(
+            payload, in_tree, out_tree,
+            execution_devices=jax.devices()[:n_dev],
+        )
     except Exception as e:  # noqa: BLE001 — fast path only
         print(f"aot: load failed for {name} ({e}); falling back to jit",
               file=sys.stderr)
@@ -151,7 +158,7 @@ def compile_and_save(name, static_key, jitted, args):
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(zlib.compress(
-                pickle.dumps((payload, in_tree, out_tree)), 1
+                pickle.dumps((payload, in_tree, out_tree, 1)), 1
             ))
         os.replace(tmp, path)
         return compiled
