@@ -412,10 +412,12 @@ _assemble_device = partial(
 
 def dict_alphabet_of_bytes(dict_flat: np.ndarray) -> str:
     """Host-side key-packing mode from the dict byte array itself (the
-    standalone/mesh paths receive the dict, not the input stream)."""
+    standalone/mesh paths receive the dict, not the input stream).
+    'byte' by default — see ops.fused.dict_alphabet for the measured
+    A/B rationale; PFBWT_DICT_KEYS=acgt3 opts in."""
     import os
 
-    if os.environ.get("PFBWT_DICT_KEYS", "").lower() == "byte":
+    if os.environ.get("PFBWT_DICT_KEYS", "").lower() != "acgt3":
         return "byte"
     allowed = np.zeros(256, dtype=bool)
     allowed[[0, 1, 2, 65, 67, 71, 84]] = True

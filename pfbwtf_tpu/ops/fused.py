@@ -82,13 +82,14 @@ def capture_levels(max_len: int, w: int, alphabet: str = "byte") -> int:
 
 
 def dict_alphabet(C: np.ndarray) -> str:
-    """Static key-packing mode for the dict suffix sort: 'acgt3' when the
-    validated input stream is pure ACGT (the common genomic case — 3-bit
-    symbol packing starts the doubling at k0=16, one round fewer than
-    byte packing), else 'byte' (N and '-' survive validation as raw dict
-    bytes, pfparser stores them verbatim).  PFBWT_DICT_KEYS=byte forces
-    the byte path."""
-    if os.environ.get("PFBWT_DICT_KEYS", "").lower() == "byte":
+    """Static key-packing mode for the dict suffix sort.  'acgt3'
+    (3-bit symbol packing, k0=16 with fingerprint capture tiers) is
+    available for pure-ACGT inputs but is a MEASURED LOSER on v5e at
+    64 MB: the doubling saves one round (~0.37 s) yet the end-to-end ran
+    ~0.3-0.6 s slower in two same-process A/B races (2026-08-21; both
+    the i64 and the native-i32 pack variants), so 'byte' stays the
+    default.  PFBWT_DICT_KEYS=acgt3 opts in (requires pure ACGT)."""
+    if os.environ.get("PFBWT_DICT_KEYS", "").lower() != "acgt3":
         return "byte"
     if C.size == 0:
         return "acgt3"

@@ -407,9 +407,11 @@ def packed_dict_keys_k0(w: int) -> int:
     return k0
 
 
-# 3-bit symbol packing: 21 symbols per i64.  Order-preserving over the
-# pure-ACGT dict alphabet {EOD 0, EOW 1, Dollar 2, A, C, G, T}.
-_FP_SYMS = 21
+# 3-bit symbol packing: 16 symbols per i64 key (exactly k0 — the rank
+# key IS the level-16 prefix; its top 24 bits serve as the t<=8
+# fingerprint source).  Order-preserving over the pure-ACGT dict
+# alphabet {EOD 0, EOW 1, Dollar 2, A, C, G, T}.
+_FP_SYMS = 16
 
 
 def dict_key_plan(w: int, alphabet: str = "byte"):
@@ -439,16 +441,17 @@ def dict_key_plan(w: int, alphabet: str = "byte"):
 
 def _acgt3_codes(dict_flat):
     """Order-preserving 3-bit codes for the pure-ACGT dict alphabet:
-    0,1,2 fixed; A(65)->3 C(67)->4 G(71)->5 T(84)->6 — compares, not a
-    256-LUT gather (the LUT form measured 0.59 s over 75M lanes)."""
-    c = dict_flat.astype(jnp.int64)
+    0,1,2 fixed; A(65)->3 C(67)->4 G(71)->5 T(84)->6 — native-i32
+    compares, not a 256-LUT gather (the LUT form measured 0.59 s over
+    75M lanes)."""
+    c = dict_flat.astype(jnp.int32)
     code = jnp.where(
         c <= 2,
         c,
         3
-        + (c == 67).astype(jnp.int64)
-        + (c == 71).astype(jnp.int64) * 2
-        + (c == 84).astype(jnp.int64) * 3,
+        + (c == 67).astype(jnp.int32)
+        + (c == 71).astype(jnp.int32) * 2
+        + (c == 84).astype(jnp.int32) * 3,
     )
     return code
 
@@ -477,18 +480,25 @@ def packed_dict_keys(dict_flat, w: int, alphabet: str = "byte"):
     if alphabet == "acgt3":
         k0, _, _ = dict_key_plan(w, alphabet)
         codes = _acgt3_codes(dict_flat)
-        key = jnp.zeros(D, jnp.int64)
-        for j in range(_FP_SYMS):
-            b = codes if j == 0 else jnp.concatenate(
-                (codes[j:], jnp.zeros(j, jnp.int64))
-            )
-            key = (key << jnp.int64(3)) | b
+        # two native-i32 half-words (8 symbols = 24 bits each), ONE i64
+        # combine: 64-bit elementwise ops are emulated u32 pairs on TPU,
+        # so the 16-symbol pack costs ~the same as the byte mode's
+        # 8-iteration i64 pack while starting the doubling a level higher
+        halves = []
+        for h in range(2):
+            acc = jnp.zeros(D, jnp.int32)
+            for j in range(8 * h, 8 * h + 8):
+                b = codes if j == 0 else jnp.concatenate(
+                    (codes[j:], jnp.zeros(j, jnp.int32))
+                )
+                acc = (acc << jnp.int32(3)) | b
+            halves.append(acc)
+        key = (
+            halves[0].astype(jnp.int64) << jnp.int64(24)
+        ) | halves[1].astype(jnp.int64)
         eod = dict_flat == _EOD
         fp_word = jnp.where(eod, iota - D, key)
-        rank_keys = jnp.where(
-            eod, iota - D, key >> jnp.int64(3 * (_FP_SYMS - k0))
-        )
-        return rank_keys, k0, fp_word
+        return fp_word, k0, fp_word
     k0 = packed_dict_keys_k0(w)
     key = jnp.zeros(D, jnp.int64)
     for j in range(k0):
@@ -595,7 +605,6 @@ def doubling_with_captures(
     p2 = jnp.clip(cap_pos + cap_len - t, 0, n - 1)
 
     k0i = jnp.int64(k0)
-    rank = rank_of(keys.astype(jnp.int64))
     # distinct sentinels (negative, unique per query) so an uncaptured
     # query never tests equal
     C1 = -jnp.arange(m, dtype=it) - it(1)
@@ -647,60 +656,173 @@ def doubling_with_captures(
             Rlev0 = jax.lax.dynamic_update_slice(
                 Rlev0, frow[None], (r, 0)
             )
-        Rlev0 = jax.lax.dynamic_update_slice(
-            Rlev0, rank[None].astype(it), (n_fp, 0)
-        )
 
-        def cond_s(carry):
-            rank, k, Rlev = carry
-            return (jnp.max(rank) < n - 1) & (k < k_stop)
+        # POSITIONAL ranks: rank = sorted position of the group's head
+        # (not a dense cumsum).  Equality semantics are identical (equal
+        # iff same group) and the value is directly refinable WITHIN a
+        # group: after splitting a block that starts at global sorted
+        # position p, the sub-group starting o lanes into the block has
+        # positional rank exactly p + o — no global renumbering needed,
+        # which is what makes the subset-refinement phase below possible.
+        # Distinctness is tracked by a carried GROUP COUNT (a middle
+        # block of size 2 does not lower max(rank), so the old
+        # max-rank test is invalid for positional ranks).
+        def posrank_of(ck):
+            cks, order = jax.lax.sort((ck, idx), num_keys=1)
+            changed = jnp.concatenate(
+                (jnp.ones(1, bool), cks[1:] != cks[:-1])
+            )
+            headpos = jax.lax.cummax(jnp.where(changed, idx, it(0)))
+            n_groups = jnp.sum(changed.astype(it))
+            single = changed & jnp.concatenate(
+                (changed[1:], jnp.ones(1, bool))
+            )
+            n_unres = it(n) - jnp.sum(single.astype(it))
+            return invert(order, headpos), n_groups, n_unres
 
-        def body_s(carry):
-            rank, k, Rlev = carry
+        def posrank_radix(rankv, key2):
+            order = radix_argsort_pair(
+                rankv, key2 + it(1), nbits_hi=nb, nbits_lo=nb
+            )
+            r_s, k_s = rankv[order], key2[order]
+            changed = jnp.concatenate(
+                (
+                    jnp.ones(1, bool),
+                    (r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1]),
+                )
+            )
+            headpos = jax.lax.cummax(jnp.where(changed, idx, it(0)))
+            n_groups = jnp.sum(changed.astype(it))
+            single = changed & jnp.concatenate(
+                (changed[1:], jnp.ones(1, bool))
+            )
+            n_unres = it(n) - jnp.sum(single.astype(it))
+            return invert(order, headpos), n_groups, n_unres
+
+        def round_rank(rank, k):
             key2 = jnp.where(
                 idx.astype(jnp.int64) + k < n, jnp.roll(rank, -k), it(-1)
             )
             if use_radix:
-                order = radix_argsort_pair(
-                    rank, key2 + it(1), nbits_hi=nb, nbits_lo=nb
-                )
-                r_s, k_s = rank[order], key2[order]
-                changed = jnp.concatenate(
-                    (
-                        jnp.zeros(1, it),
-                        (
-                            (r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])
-                        ).astype(it),
-                    )
-                )
-                rank = invert(order, jnp.cumsum(changed))
-            elif narrow:
+                return posrank_radix(rank, key2)
+            if narrow:
                 ck = (rank.astype(jnp.int64) << B) | (
                     key2.astype(jnp.int64) + 1
                 )
-                rank = rank_of(ck)
             else:
                 ck = rank.astype(jnp.int64) * jnp.int64(n + 1) + (
                     key2.astype(jnp.int64) + 1
                 )
-                rank = rank_of(ck)
-            k = k * 2
+            return posrank_of(ck)
+
+        def write_row(Rlev, rank, k):
             lvl = (
                 jax.lax.population_count(k.astype(jnp.int64) - 1)
                 .astype(jnp.int32)
                 - log2k0
                 + n_fp
             )
-            Rlev = jax.lax.dynamic_update_slice(
+            return jax.lax.dynamic_update_slice(
                 Rlev,
                 rank[None].astype(it),
                 (jnp.minimum(lvl, n_levels), jnp.int32(0)),
             )
-            return rank, k, Rlev
 
-        rank, k_final, Rlev = jax.lax.while_loop(
-            cond_s, body_s, (rank, k0i, Rlev0)
+        rank, n_groups, n_unres = posrank_of(keys.astype(jnp.int64))
+        Rlev0 = jax.lax.dynamic_update_slice(
+            Rlev0, rank[None].astype(it), (n_fp, 0)
         )
+
+        # SUBSET-REFINEMENT schedule: full-width rounds only until the
+        # unresolved lane count (members of groups of size > 1) fits the
+        # static bucket m_sub, then rounds sort/gather ONLY those lanes.
+        # Resolved ranks never change, and a split sub-group's positional
+        # rank is computable block-locally (see above), so refinement is
+        # exact.  For the repetitive dicts PFP targets, most positions
+        # resolve within a round or two and the deep-LCP tail is a small
+        # fraction — the tail rounds then cost ~m_sub/n of a full round.
+        sub_div = int(os.environ.get("PFBWT_DBL_SUBSET", "4"))
+        use_subset = narrow and sub_div > 0
+        m_sub = max(n // max(sub_div, 1), 1 << 12) if use_subset else n
+
+        def cond_a(carry):
+            rank, k, Rlev, n_groups, n_unres = carry
+            full = (n_groups < it(n)) & (k < k_stop)
+            if use_subset:
+                return full & (n_unres > it(m_sub))
+            return full
+
+        def body_a(carry):
+            rank, k, Rlev, n_groups, n_unres = carry
+            rank, n_groups, n_unres = round_rank(rank, k)
+            k = k * 2
+            Rlev = write_row(Rlev, rank, k)
+            return rank, k, Rlev, n_groups, n_unres
+
+        rank, k_cur, Rlev, n_groups, n_unres = jax.lax.while_loop(
+            cond_a, body_a, (rank, k0i, Rlev0, n_groups, n_unres)
+        )
+
+        if use_subset:
+            # unresolved mask in position space: group size > 1
+            hist = jnp.zeros(n, it).at[jnp.clip(rank, 0, n - 1)].add(
+                jnp.ones((), it), mode="promise_in_bounds"
+            )
+            unres = hist[jnp.clip(rank, 0, n - 1)] > it(1)
+            pos_u = compact_indices_jax(unres, m_sub, fill=n).astype(it)
+            sidx = jnp.arange(m_sub, dtype=it)
+            huge = jnp.iinfo(jnp.int64).max // 2
+
+            def cond_b(carry):
+                rank, k, Rlev, n_groups = carry
+                return (n_groups < it(n)) & (k < k_stop)
+
+            def body_b(carry):
+                rank, k, Rlev, n_groups = carry
+                valid = pos_u < it(n)
+                pu = jnp.clip(pos_u, 0, n - 1)
+                ru = rank[pu]
+                k2p = pu.astype(jnp.int64) + k
+                key2 = jnp.where(
+                    (k2p < n) & valid,
+                    rank[jnp.clip(k2p, 0, n - 1).astype(it)],
+                    it(-1),
+                )
+                ck = (ru.astype(jnp.int64) << B) | (
+                    key2.astype(jnp.int64) + 1
+                )
+                ck = jnp.where(
+                    valid, ck, huge + sidx.astype(jnp.int64)
+                )
+                # carry the UNCLIPPED positions: fill lanes must sort out
+                # with pos == n so valid_s masks them (a clipped carry
+                # would alias them onto position n-1 and corrupt it)
+                cks, pos_s = jax.lax.sort((ck, pos_u), num_keys=1)
+                ru_s = (cks >> B).astype(it)
+                changed = jnp.concatenate(
+                    (jnp.ones(1, bool), cks[1:] != cks[:-1])
+                )
+                bh = jnp.concatenate(
+                    (jnp.ones(1, bool), ru_s[1:] != ru_s[:-1])
+                )
+                base = jax.lax.cummax(jnp.where(bh, sidx, it(0)))
+                head = jax.lax.cummax(jnp.where(changed, sidx, it(0)))
+                new_rank = ru_s + (head - base)
+                valid_s = pos_s < it(n)
+                splits = jnp.sum((changed & valid_s).astype(it)) - \
+                    jnp.sum((bh & valid_s).astype(it))
+                rank = rank.at[
+                    jnp.where(valid_s, pos_s, it(n))
+                ].set(new_rank, mode="drop", unique_indices=True)
+                k = k * 2
+                Rlev = write_row(Rlev, rank, k)
+                return rank, k, Rlev, n_groups + splits
+
+            rank, k_final, Rlev, n_groups = jax.lax.while_loop(
+                cond_b, body_b, (rank, k_cur, Rlev, n_groups)
+            )
+        else:
+            k_final = k_cur
         # unified row index: fingerprint rows [0, n_fp) then rank rows;
         # t >= t_min always, so lvl_q = log2(t) - log2(t_min) >= 0
         lvl_q = (
@@ -731,8 +853,9 @@ def doubling_with_captures(
             final = jnp.argsort(rank)
         return final.astype(jnp.int64), rank, C1, C2
 
+    rank = rank_of(keys.astype(jnp.int64))
     hit0 = t == it(k0)
-    C1 = jnp.where(hit0, rank if identity else rank[cap_pos], C1)
+    C1 = jnp.where(hit0, rank[cap_pos], C1)
     C2 = jnp.where(hit0, rank[p2], C2)
 
     def cond(carry):

@@ -45,6 +45,24 @@ def test_fused_random():
     _check([("s", seq)], w=4, p=10)
 
 
+def test_fused_acgt3_keys(monkeypatch):
+    """Opt-in 3-bit packed dict keys (k0=16 + fingerprint captures):
+    byte-identical output to the default byte-key path."""
+    monkeypatch.setenv("PFBWT_DICT_KEYS", "acgt3")
+    rng = np.random.default_rng(21)
+    seq = rng.choice(ACGT, size=7000)
+    _check([("s", seq)], w=4, p=10)
+
+
+def test_fused_subset_doubling_off(monkeypatch):
+    """PFBWT_DBL_SUBSET=0 (single full-width loop) must agree with the
+    default two-phase subset-refinement schedule."""
+    monkeypatch.setenv("PFBWT_DBL_SUBSET", "0")
+    rng = np.random.default_rng(22)
+    seq = rng.choice(ACGT, size=7000)
+    _check([("s", seq)], w=4, p=10)
+
+
 def test_fused_multi_record():
     rng = np.random.default_rng(12)
     recs = [
