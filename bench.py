@@ -235,23 +235,34 @@ def bench_reference_e2e_pan(tools, fasta, size_mb):
     return time.perf_counter() - t0
 
 
-def device_health_check(timeout_s: int = 150) -> bool:
+def device_health_check(timeout_s: int = 120, retries: int = 2,
+                        pause_s: int = 45) -> bool:
     """A trivial on-chip op under a short alarm: detects a wedged or
-    unreachable device BEFORE the e2e ladder bets its budget on it."""
-    signal.alarm(timeout_s)
-    try:
-        import jax
-        import jax.numpy as jnp
+    unreachable device BEFORE the e2e ladder bets its budget on it.
+    The remote server needs a recovery window after another process's
+    in-flight work (observed ~1-20 min), so a failed probe pauses and
+    retries before giving up."""
+    import jax
+    import jax.numpy as jnp
 
-        x = jax.device_put(np.arange(1024, dtype=np.int32))
-        val = int(np.asarray(jnp.sum(x * 2)))
-        signal.alarm(0)
-        return val == 1024 * 1023
-    except (_Timeout, Exception) as e:  # noqa: BLE001
-        signal.alarm(0)
-        print(f"device health check failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
-        return False
+    for attempt in range(retries + 1):
+        signal.alarm(timeout_s)
+        try:
+            x = jax.device_put(np.arange(1024, dtype=np.int32))
+            val = int(np.asarray(jnp.sum(x * 2)))
+            signal.alarm(0)
+            if val == 1024 * 1023:
+                return True
+        except (_Timeout, Exception) as e:  # noqa: BLE001
+            signal.alarm(0)
+            print(
+                f"device health probe {attempt + 1}/{retries + 1} failed "
+                f"({type(e).__name__}: {e})",
+                file=sys.stderr,
+            )
+        if attempt < retries:
+            time.sleep(pause_s)
+    return False
 
 
 def main():

@@ -738,10 +738,13 @@ def doubling_with_captures(
         # static bucket m_sub, then rounds sort/gather ONLY those lanes.
         # Resolved ranks never change, and a split sub-group's positional
         # rank is computable block-locally (see above), so refinement is
-        # exact.  For the repetitive dicts PFP targets, most positions
-        # resolve within a round or two and the deep-LCP tail is a small
-        # fraction — the tail rounds then cost ~m_sub/n of a full round.
-        sub_div = int(os.environ.get("PFBWT_DBL_SUBSET", "4"))
+        # exact.  MEASURED on v5e at 64 MB (2026-08-21, same-process A/B,
+        # dict_b=21M): subset-off 10.08 s e2e, div=4 10.88 s, div=8
+        # 10.19 s — a wash to a loss, because bitonic sort cost shrinks
+        # only ~linearly in lanes (log^2 passes stay), the subset gathers
+        # are random (latency-bound), and the capture-table row write
+        # stays full-width; OFF by default, PFBWT_DBL_SUBSET=N opts in.
+        sub_div = int(os.environ.get("PFBWT_DBL_SUBSET", "0"))
         use_subset = narrow and sub_div > 0
         m_sub = max(n // max(sub_div, 1), 1 << 12) if use_subset else n
 

@@ -54,10 +54,11 @@ def test_fused_acgt3_keys(monkeypatch):
     _check([("s", seq)], w=4, p=10)
 
 
-def test_fused_subset_doubling_off(monkeypatch):
-    """PFBWT_DBL_SUBSET=0 (single full-width loop) must agree with the
-    default two-phase subset-refinement schedule."""
-    monkeypatch.setenv("PFBWT_DBL_SUBSET", "0")
+def test_fused_subset_doubling(monkeypatch):
+    """PFBWT_DBL_SUBSET=4 (two-phase subset-refinement schedule, an
+    opt-in measured wash on v5e) must agree with the default full-width
+    loop."""
+    monkeypatch.setenv("PFBWT_DBL_SUBSET", "4")
     rng = np.random.default_rng(22)
     seq = rng.choice(ACGT, size=7000)
     _check([("s", seq)], w=4, p=10)
