@@ -74,7 +74,10 @@ def cache_prefix(size_mb: int) -> str:
     return f"/tmp/pfbwtf_tpu_bench_{size_mb}mb"
 
 
-class _Timeout(Exception):
+class _Timeout(BaseException):
+    # BaseException, deliberately: the alarm must not be swallowed by
+    # library-level `except Exception` blocks (aot.compile_and_save's
+    # fallback ate one mid-compile and silently unbounded the budget)
     pass
 
 
@@ -285,6 +288,25 @@ def main():
                 break
             try:
                 fasta = make_pangenome_input(size_mb)
+                # only attempt sizes whose serialized executable exists:
+                # a missing/stale blob means minutes-long compiles during
+                # which SIGALRM cannot fire (one long C call), silently
+                # overrunning the budget — the rounds-3/4 failure mode
+                if os.environ.get("PFBWT_BENCH_REQUIRE_AOT", "1") == "1":
+                    from pfbwtf_tpu.ops.fused import j2_blob_ready
+
+                    # exact padded stream length of the pan input:
+                    # PAN_COPIES records, each (size/copies) chars + w pad
+                    unit = (size_mb << 20) // PAN_COPIES
+                    exact_len = PAN_COPIES * (unit + W)
+                    if not j2_blob_ready(exact_len, W, P):
+                        print(
+                            f"e2e size {size_mb} MB skipped: no AOT "
+                            "executable for the current code (run "
+                            "scripts/warm_bench_aot.py)",
+                            file=sys.stderr,
+                        )
+                        break
                 signal.alarm(max(int(remaining), 1))
                 ours_t, nbytes = bench_device_e2e(fasta, size_mb)
                 signal.alarm(0)

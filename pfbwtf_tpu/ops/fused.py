@@ -81,6 +81,38 @@ def capture_levels(max_len: int, w: int, alphabet: str = "byte") -> int:
     return max(4, -(-need // 4) * 4)
 
 
+class _ShapeDtype:
+    """Lightweight aval carrier for fingerprint computation."""
+
+    def __init__(self, shape, dtype):
+        self.shape, self.dtype = shape, dtype
+
+
+def j2_blob_ready(C_len: int, w: int, p: int) -> bool:
+    """True iff the AOT executable store holds the fused-J2 blob for this
+    input size under the CURRENT code digest.  The bench uses this to
+    decide whether an e2e size is safe to attempt: a missing/stale blob
+    means minutes of trace+lower+compile during which SIGALRM cannot be
+    delivered (the interpreter is inside one long C call), so the
+    in-process budget would silently overrun — observed as rounds 3/4's
+    driver timeouts.  The warm script runs the whole pipeline, so J2's
+    blob existing implies J3's does too."""
+    from ..aot import _blob_path, _fingerprint, aot_dir
+
+    d = aot_dir()
+    if not d:
+        return False
+    n_b = _bucket(max(C_len, 1), 1 << 16)
+    nph_b = _bucket(speculative_nphrases(C_len, p))
+    scan_impl = os.environ.get("PFBWT_SCAN_IMPL", "xla").lower()
+    args = (
+        _ShapeDtype((n_b,), np.dtype(np.uint8)),
+        _ShapeDtype((), np.dtype(np.int64)),
+    )
+    fp = _fingerprint("fused_j2", (nph_b, w, p, scan_impl), args)
+    return os.path.exists(_blob_path(d, "fused_j2", fp))
+
+
 def dict_alphabet(C: np.ndarray) -> str:
     """Static key-packing mode for the dict suffix sort.  'acgt3'
     (3-bit symbol packing, k0=16 with fingerprint capture tiers) is
@@ -153,12 +185,17 @@ def _substring_hashes_dev(Tp, starts, lens, base: int):
     return (G[s] - G[e]) * inv_s
 
 
-def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
+def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int,
+                scan_impl: str = "xla"):
     """Cut scan/count + compaction + phrase bounds + dict dedup/rank +
     occurrence metadata, all on device.  Returns the HBM-resident parse
     state plus a 3-scalar sizing vector [ncuts, D, dict_total] — the ONLY
     values the host needs before dispatching J3.  Valid only when
-    ncuts + 1 <= nph_b (the driver re-runs at the exact bucket otherwise)."""
+    ncuts + 1 <= nph_b (the driver re-runs at the exact bucket otherwise).
+
+    ``scan_impl`` selects the cut-scan kernel inside the fused program:
+    'xla' (ops/hash.py, u32-folded Wang scan — the measured winner) or
+    'pallas' (ops/pallas/hash_scan.py) for A/B runs."""
     import jax
     import jax.numpy as jnp
 
@@ -170,7 +207,12 @@ def _parse_core(chars_p, C_len, w: int, p: int, nph_b: int):
     # arithmetic NTOA (chars are driver-validated): the 256-entry LUT
     # gather measured 0.59 s over 75.5M lanes in this program
     codes = ntoa_codes_jax(chars_p)
-    _, cut = hash_scan_jax(codes, w, p)
+    if scan_impl == "pallas":
+        from ..engine import _cut_mask_device
+
+        cut = _cut_mask_device(codes, w, p, "pallas")
+    else:
+        _, cut = hash_scan_jax(codes, w, p)
     sidx = jnp.arange(n_b, dtype=jnp.int64)
     cut = cut & (sidx < C_len)
     ncuts = jnp.sum(cut.astype(jnp.int64))
@@ -791,11 +833,15 @@ def pfbwt_fused_device(
 
     from ..aot import maybe_aot
 
+    scan_impl = os.environ.get("PFBWT_SCAN_IMPL", "xla").lower()
+
     def run_parse(nph_b):
-        key2 = (nph_b, w, p)
+        key2 = (nph_b, w, p, scan_impl)
         fn = maybe_aot(
             "fused_j2", key2,
-            lambda: jax.jit(partial(_parse_core, w=w, p=p, nph_b=nph_b)),
+            lambda: jax.jit(partial(
+                _parse_core, w=w, p=p, nph_b=nph_b, scan_impl=scan_impl,
+            )),
             (dev_chars, jnp.int64(C_len)), _parse_jits,
         )
         state = fn(dev_chars, jnp.int64(C_len))
