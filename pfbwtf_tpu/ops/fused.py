@@ -81,6 +81,33 @@ def capture_levels(max_len: int, w: int, alphabet: str = "byte") -> int:
     return max(4, -(-need // 4) * 4)
 
 
+def _default_scan_impl(w: int, p: int) -> str:
+    """Cut-scan kernel for the fused J2.  On the real TPU the Pallas
+    kernel (explicit u32-pair blocks, halo-row layout) beats the
+    XLA-fused scan INSIDE the fused program — measured 2026-08-21 at
+    16 MB: pallas 2.23/2.24/2.25 s e2e vs xla 2.49/2.69/2.76 s
+    (same process, identical checksums) — even though it loses the
+    STANDALONE scan race by ~90x (round-1 ledger): inside J2 the XLA
+    scan's fusion competes with neighboring ops for VMEM/scheduling
+    while the Pallas kernel pipelines its own blocks.  Kernel
+    constraints: w <= 32, p < 2**15; otherwise (and on CPU, where
+    Mosaic TC kernels cannot run) the XLA scan is used.
+    PFBWT_SCAN_IMPL=xla|pallas overrides."""
+    env = os.environ.get("PFBWT_SCAN_IMPL", "").lower()
+    if env in ("xla", "pallas"):
+        return env
+    if w > 32 or p >= (1 << 15):
+        return "xla"
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return "xla"
+    except Exception:  # noqa: BLE001
+        return "xla"
+    return "pallas"
+
+
 class _ShapeDtype:
     """Lightweight aval carrier for fingerprint computation."""
 
@@ -104,7 +131,7 @@ def j2_blob_ready(C_len: int, w: int, p: int) -> bool:
         return False
     n_b = _bucket(max(C_len, 1), 1 << 16)
     nph_b = _bucket(speculative_nphrases(C_len, p))
-    scan_impl = os.environ.get("PFBWT_SCAN_IMPL", "xla").lower()
+    scan_impl = _default_scan_impl(w, p)
     args = (
         _ShapeDtype((n_b,), np.dtype(np.uint8)),
         _ShapeDtype((), np.dtype(np.int64)),
@@ -833,7 +860,7 @@ def pfbwt_fused_device(
 
     from ..aot import maybe_aot
 
-    scan_impl = os.environ.get("PFBWT_SCAN_IMPL", "xla").lower()
+    scan_impl = _default_scan_impl(w, p)
 
     def run_parse(nph_b):
         key2 = (nph_b, w, p, scan_impl)
