@@ -227,15 +227,22 @@ def bench_host_e2e(fasta, size_mb):
     return once(".mine")
 
 
-def bench_reference_e2e_pan(tools, fasta, size_mb):
-    """Reference pfbwt-f64 full run (parse + parse-BWT + final BWT + SA)."""
-    t0 = time.perf_counter()
-    subprocess.run(
-        [tools.pfbwt64, fasta, cache_prefix(size_mb) + ".refpan",
-         str(W), str(P), "1", "0"],
-        check=True, capture_output=True,
-    )
-    return time.perf_counter() - t0
+def bench_reference_e2e_pan(tools, fasta, size_mb, runs=1):
+    """Reference pfbwt-f64 full run (parse + parse-BWT + final BWT + SA).
+    ``runs`` > 1 takes the min — symmetric with our min-of-2 timing (the
+    reference wall varies 22-36 s at 64 MB on this VM while ours is
+    stable within ~0.3 s, so a single ref sample dominates the ratio's
+    noise)."""
+    best = float("inf")
+    for _ in range(max(runs, 1)):
+        t0 = time.perf_counter()
+        subprocess.run(
+            [tools.pfbwt64, fasta, cache_prefix(size_mb) + ".refpan",
+             str(W), str(P), "1", "0"],
+            check=True, capture_output=True,
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def device_health_check(timeout_s: int = 120, retries: int = 2,
@@ -322,8 +329,12 @@ def main():
                 break
         if best is not None:
             size_mb, ours_t, nbytes, fasta = best
+            # two reference runs when the budget clearly allows (min is
+            # symmetric with our min-of-2; see bench_reference_e2e_pan)
+            ref_runs = 2 if deadline - time.monotonic() > 180 else 1
             ref_t = (
-                bench_reference_e2e_pan(tools, fasta, size_mb)
+                bench_reference_e2e_pan(tools, fasta, size_mb,
+                                        runs=ref_runs)
                 if tools
                 else None
             )
