@@ -66,11 +66,10 @@ def main():
     C, _, _ = build_stream(records, ParserParams(w=W, p=P))
     print(f"input {C.size >> 20} MB, {PAN_COPIES} haplotypes", flush=True)
 
+    chunk_target = int(os.environ.get("PFBWT_STREAM_CHUNK",
+                                      str(48 << 20)))
     t0 = time.perf_counter()
-    _, total, ck = pfbwt_fused_stream(
-        C, W, P, chunk_target=int(os.environ.get(
-            "PFBWT_STREAM_CHUNK", str(48 << 20))),
-    )
+    _, total, ck = pfbwt_fused_stream(C, W, P, chunk_target=chunk_target)
     dt = time.perf_counter() - t0
     print(
         f"streamed fused e2e: {dt:.1f} s  "
@@ -79,7 +78,7 @@ def main():
         flush=True,
     )
     t0 = time.perf_counter()
-    _, total, ck2 = pfbwt_fused_stream(C, W, P)
+    _, total, ck2 = pfbwt_fused_stream(C, W, P, chunk_target=chunk_target)
     dt = time.perf_counter() - t0
     assert ck2 == ck, "nondeterministic checksum"
     print(
