@@ -360,7 +360,7 @@ def speculative_chunk_phrases(L: int, p: int) -> int:
 
 def _parse_core_stream(
     chars_p, C_len, w: int, p: int, nph_b: int, n_chunks: int,
-    m_max: int,
+    m_max: int, scan_impl: str = "xla",
 ):
     """Streamed J2: identical contract to _parse_core, but nothing of
     length T' is ever materialized at 64-bit width.  The monolithic J2's
@@ -394,7 +394,12 @@ def _parse_core_stream(
 
     n_b = chars_p.shape[0]
     codes = ntoa_codes_jax(chars_p)
-    _, cut = hash_scan_jax(codes, w, p)
+    if scan_impl == "pallas":
+        from ..engine import _cut_mask_device
+
+        cut = _cut_mask_device(codes, w, p, "pallas")
+    else:
+        _, cut = hash_scan_jax(codes, w, p)
     sidx = jnp.arange(n_b, dtype=jnp.int64)
     cut = cut & (sidx < C_len)
     ncuts = jnp.sum(cut.astype(jnp.int64))
@@ -629,13 +634,15 @@ def run_parse_stream(dev_chars, C_len, w, p, nph_b, chunk_target=32 << 20):
     n_b = dev_chars.shape[0]
     n_chunks = max(-(-n_b // chunk_target), 1)
 
+    scan_impl = _default_scan_impl(w, p)
+
     def dispatch(nph_b, m_max):
-        key = (nph_b, n_chunks, m_max, w, p)
+        key = (nph_b, n_chunks, m_max, w, p, scan_impl)
         if key not in _parse_stream_jits:
             _parse_stream_jits[key] = jax.jit(
                 partial(
                     _parse_core_stream, w=w, p=p, nph_b=nph_b,
-                    n_chunks=n_chunks, m_max=m_max,
+                    n_chunks=n_chunks, m_max=m_max, scan_impl=scan_impl,
                 )
             )
         state = _parse_stream_jits[key](dev_chars, jnp.int64(C_len))

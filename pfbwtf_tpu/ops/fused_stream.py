@@ -453,11 +453,14 @@ def pfbwt_fused_stream(
                 "Re-run with a smaller p modulus")
         nphrases = ncuts + 1
     else:
+        scan_impl = fused._default_scan_impl(w, p)
+
         def run_parse(nph_b):
-            key2 = (nph_b, w, p)
+            key2 = (nph_b, w, p, scan_impl, "stream-mono")
             if key2 not in fused._parse_jits:
                 fused._parse_jits[key2] = jax.jit(
-                    partial(fused._parse_core, w=w, p=p, nph_b=nph_b)
+                    partial(fused._parse_core, w=w, p=p, nph_b=nph_b,
+                            scan_impl=scan_impl)
                 )
             state = fused._parse_jits[key2](dev_chars, jnp.int64(C_len))
             meta = np.asarray(state[-1])  # SYNC 1
@@ -564,12 +567,29 @@ def pfbwt_fused_stream(
         pending.append(
             (out[0], out[1], out[2], out[3], m_c, int(bases[c]))
         )
-        if len(pending) >= 2:  # double-buffer: overlap fetch with compute
+        if fetch and len(pending) >= 2:
+            # double-buffer: overlap fetch with compute
             drain(pending.pop(0))
+    if not fetch:
+        # bench mode: chunk dispatches queued asynchronously above; ONE
+        # stacked fetch replaces per-chunk checksum syncs (each tiny
+        # D2H costs a full tunnel RTT — ~2-4 s apiece on this rig,
+        # ~40-80 s across an 11-chunk 512 MB run)
+        scalars = np.asarray(jnp.stack(
+            [jnp.stack((p[2], p[3].astype(jnp.uint64))) for p in pending]
+        ))
+        checksum = np.uint64(0)
+        for (ck_v, bad_v) in scalars:
+            checksum += np.uint64(ck_v)
+            if int(bad_v):
+                die(
+                    "streamed assembly invariant violation: local gids "
+                    "exceed the chunk-local table (chunk table sizing "
+                    "bug — please report)"
+                )
+        return None, total, int(checksum)
     while pending:
         drain(pending.pop(0))
-    if not fetch:
-        return None, total, int(checksum)
     if want_rssa:
         ssa, esa = runs.finish(total)
         return runs.nruns, total, int(checksum), ssa, esa
