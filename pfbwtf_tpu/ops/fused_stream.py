@@ -435,11 +435,13 @@ def pfbwt_fused_stream(
     # Streamed J2 (chunked lax.scan, no T'-length u64 arrays): the
     # monolithic J2's substring-hash machinery caps on-chip input at
     # ~256 MB (~8.6 GB HBM); past that the chunked form is mandatory.
-    # PFBWT_J2_STREAM=1/0 forces it; default switches at 192 MB.
+    # Below the wall the monolithic J2 measures faster (256 MB warm e2e:
+    # 70-85 s streamed vs ~70 s monolithic in r4), so the auto switch
+    # sits just past 256 MB+pads.  PFBWT_J2_STREAM=1/0 forces it.
     j2s_env = os.environ.get("PFBWT_J2_STREAM", "auto").lower()
     use_j2_stream = (
         j2s_env == "1"
-        or (j2s_env not in ("0", "1") and C_len > (192 << 20))
+        or (j2s_env not in ("0", "1") and C_len > (288 << 20))
     )
     if use_j2_stream:
         j2_chunk = int(
